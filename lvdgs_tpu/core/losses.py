@@ -1,0 +1,353 @@
+"""Photometric / geometric losses and image statistics.
+
+Behavioural parity targets (all pure JAX, jit-safe, branch-free):
+- Scharr image gradients + boundary validity masks
+  (reference utils/slam_utils.py:5-39)
+- exposure-compensated, opacity-weighted, edge-masked L1 tracking loss
+  (reference utils/slam_utils.py:42-79)
+- RGB + mono-depth mapping losses with alpha mixing
+  (reference utils/slam_utils.py:82-121)
+- mask-aware (static/dynamic) mapping loss with background fill
+  (reference utils/slam_backend.py:196-267)
+- L1 / SSIM / PSNR (gaussian_splatting loss_utils / image_utils parity)
+- median depth of opaque pixels (reference utils/slam_utils.py:124-134)
+
+Masked means use sum/count rather than boolean indexing so every shape is
+static.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera
+
+# ----------------------------------------------------------------------------
+# image gradients
+
+
+def _reflect_pad_hw(img: jax.Array, pad: int = 1) -> jax.Array:
+    """Reflect-pad the trailing two dims (torch 'reflect' semantics)."""
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(img, cfg, mode="reflect")
+
+
+def _depthwise_conv3x3(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Valid 3x3 depthwise conv over (C, H+2, W+2) -> (C, H, W)."""
+    c = img.shape[0]
+    lhs = img[None]  # (1, C, H, W)
+    rhs = jnp.broadcast_to(kernel, (c, 1, 3, 3))
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )
+    return out[0]
+
+
+SCHARR_Y = jnp.array([[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]])
+SCHARR_X = jnp.array([[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]])
+
+
+def image_gradient(image: jax.Array):
+    """Scharr gradients of a (C, H, W) image -> (grad_v, grad_h).
+
+    Matches reference utils/slam_utils.py:5-22 including its (swapped-looking)
+    naming: grad_v is the conv with the x-kernel, grad_h with the y-kernel.
+    """
+    normalizer = 1.0 / jnp.abs(SCHARR_Y).sum()
+    p = _reflect_pad_hw(image)
+    grad_v = normalizer * _depthwise_conv3x3(p, SCHARR_X)
+    grad_h = normalizer * _depthwise_conv3x3(p, SCHARR_Y)
+    return grad_v, grad_h
+
+
+def image_gradient_mask(image: jax.Array, eps: float = 0.01):
+    """True where the full 3x3 neighbourhood has |I| > eps
+    (reference utils/slam_utils.py:25-39)."""
+    ones = jnp.ones((3, 3))
+    p = (_reflect_pad_hw(jnp.abs(image)) > eps).astype(jnp.float32)
+    mv = _depthwise_conv3x3(p, ones)
+    mh = _depthwise_conv3x3(p, ones)
+    return mv == 9.0, mh == 9.0
+
+
+def compute_grad_mask(
+    image: jax.Array, edge_threshold: float, dataset_type: str = "KITTI"
+) -> jax.Array:
+    """Edge mask used to gate the tracking loss.
+
+    Default path: pixels whose Scharr magnitude exceeds
+    median * edge_threshold (reference utils/camera_utils.py:151-155).
+    'replica' path: per-32x32-block median thresholding
+    (reference utils/camera_utils.py:136-150).
+    Returns (H, W) bool.
+    """
+    gray = image.mean(axis=0, keepdims=True)  # (1, H, W)
+    gv, gh = image_gradient(gray)
+    mv, mh = image_gradient_mask(gray)
+    gv = gv * mv
+    gh = gh * mh
+    mag = jnp.sqrt(gv**2 + gh**2)[0]  # (H, W)
+
+    if dataset_type == "replica":
+        H, W = mag.shape
+        rows, cols = 32, 32
+        bh, bw = H // rows, W // cols
+        blocks = mag[: rows * bh, : cols * bw].reshape(rows, bh, cols, bw)
+        med = jnp.median(blocks, axis=(1, 3), keepdims=True)
+        mask_blocks = blocks > (med * edge_threshold)
+        mask = jnp.zeros_like(mag, dtype=bool)
+        mask = mask.at[: rows * bh, : cols * bw].set(
+            mask_blocks.reshape(rows * bh, cols * bw)
+        )
+        return mask
+    med = jnp.median(mag)
+    return mag > med * edge_threshold
+
+
+# ----------------------------------------------------------------------------
+# masked means (static-shape substitutes for boolean indexing)
+
+
+def masked_mean(x: jax.Array, mask: jax.Array, eps: float = 1e-8) -> jax.Array:
+    m = mask.astype(x.dtype)
+    return (x * m).sum() / (m.sum() + eps)
+
+
+def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median of x over mask, computed at static shape.
+
+    Sorts with invalid entries pushed to +inf, then indexes the middle of the
+    valid prefix.
+    """
+    flat = jnp.where(mask.reshape(-1), x.reshape(-1), jnp.inf)
+    s = jnp.sort(flat)
+    n = mask.sum()
+    lo = jnp.clip((n - 1) // 2, 0, flat.shape[0] - 1)
+    hi = jnp.clip(n // 2, 0, flat.shape[0] - 1)
+    return 0.5 * (s[lo] + s[hi])
+
+
+# ----------------------------------------------------------------------------
+# L1 / SSIM / PSNR
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.abs(a - b).mean()
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
+    """Mean SSIM of two (C, H, W) images, 3DGS loss_utils parity
+    (gaussian 11x11 window, sigma 1.5, same-padded, C1/C2 for [0,1] range)."""
+    c = img1.shape[0]
+    sigma = 1.5
+    xs = jnp.arange(window_size) - window_size // 2
+    g = jnp.exp(-(xs**2) / (2 * sigma**2))
+    g = g / g.sum()
+    window = jnp.outer(g, g)  # (ws, ws)
+
+    def blur(x):
+        lhs = x[None]
+        rhs = jnp.broadcast_to(window, (c, 1, window_size, window_size))
+        return jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            (1, 1),
+            [(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c,
+        )[0]
+
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return ssim_map.mean()
+
+
+def psnr(img1: jax.Array, img2: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """PSNR over valid pixels (gaussian_splatting image_utils parity)."""
+    se = (img1 - img2) ** 2
+    mse = se.mean() if mask is None else masked_mean(se, jnp.broadcast_to(mask, se.shape))
+    return 20.0 * jnp.log10(1.0) - 10.0 * jnp.log10(mse + 1e-12)
+
+
+# ----------------------------------------------------------------------------
+# tracking losses
+
+
+def loss_tracking_rgb(
+    image_ab: jax.Array,
+    cam: Camera,
+    rgb_boundary_threshold: float,
+) -> jax.Array:
+    """Opacity-weighted masked L1 (reference utils/slam_utils.py:53-62).
+
+    Note the reference takes `.mean()` over the *full* image after zeroing
+    masked pixels — we reproduce that normalisation exactly (not a masked
+    mean) because it changes the effective loss scale.
+    """
+    gt = cam.image
+    rgb_pixel_mask = (gt.sum(axis=0) > rgb_boundary_threshold)[None]
+    mask = rgb_pixel_mask & cam.grad_mask[None]
+    m = mask.astype(image_ab.dtype)
+    return jnp.abs(image_ab * m - gt * m).mean()
+
+
+def loss_tracking_rgb_opacity(
+    image_ab: jax.Array,
+    opacity: jax.Array,
+    cam: Camera,
+    rgb_boundary_threshold: float,
+) -> jax.Array:
+    """Variant weighting the residual by rendered opacity — the live
+    reference path multiplies l1 by opacity (utils/slam_utils.py:60)."""
+    gt = cam.image
+    rgb_pixel_mask = (gt.sum(axis=0) > rgb_boundary_threshold)[None]
+    mask = rgb_pixel_mask & cam.grad_mask[None]
+    m = mask.astype(image_ab.dtype)
+    l1 = opacity * jnp.abs(image_ab * m - gt * m)
+    return l1.mean()
+
+
+def loss_tracking(
+    image: jax.Array,
+    depth: jax.Array,
+    opacity: jax.Array,
+    cam: Camera,
+    *,
+    rgb_boundary_threshold: float = 0.01,
+    alpha: float = 0.95,
+    monocular: bool = True,
+    depth_loss: bool = True,
+) -> jax.Array:
+    """Full tracking loss (reference utils/slam_utils.py:42-79).
+
+    The reference routes monocular (+/- depth_loss) to the RGB-only loss and
+    uses RGBD only for depth sensors; we keep that dispatch.
+    """
+    image_ab = jnp.exp(cam.exposure_a) * image + cam.exposure_b
+    rgb = loss_tracking_rgb_opacity(image_ab, opacity, cam, rgb_boundary_threshold)
+    if monocular:
+        return rgb
+    gt_depth = cam.depth[None]
+    depth_mask = (gt_depth > 0.01) & (opacity > 0.95)
+    l1_depth = jnp.abs((depth - gt_depth) * depth_mask).mean()
+    return alpha * rgb + (1 - alpha) * l1_depth
+
+
+# ----------------------------------------------------------------------------
+# mapping losses
+
+
+def loss_mapping_rgbd(
+    image_ab: jax.Array,
+    depth: jax.Array,
+    cam: Camera,
+    *,
+    rgb_boundary_threshold: float = 0.01,
+    alpha: float = 0.95,
+) -> jax.Array:
+    """RGB + mono-depth mapping loss (reference utils/slam_utils.py:107-121)."""
+    gt = cam.image
+    gt_depth = cam.mono_depth[None]
+    rgb_pixel_mask = (gt.sum(axis=0) > rgb_boundary_threshold)[None]
+    depth_pixel_mask = gt_depth > 0.01
+    mr = rgb_pixel_mask.astype(image_ab.dtype)
+    md = depth_pixel_mask.astype(image_ab.dtype)
+    l1_rgb = jnp.abs(image_ab * mr - gt * mr).mean()
+    l1_depth = jnp.abs(depth * md - gt_depth * md).mean()
+    return alpha * l1_rgb + (1 - alpha) * l1_depth
+
+
+def loss_mapping(
+    image: jax.Array,
+    depth: jax.Array,
+    cam: Camera,
+    *,
+    rgb_boundary_threshold: float = 0.01,
+    alpha: float = 0.95,
+    initialization: bool = False,
+    monocular: bool = True,
+    monodepth: bool = True,
+) -> jax.Array:
+    """Dispatch parity with reference utils/slam_utils.py:82-92."""
+    image_ab = image if initialization else jnp.exp(cam.exposure_a) * image + cam.exposure_b
+    if (monocular and monodepth) or not monocular:
+        return loss_mapping_rgbd(
+            image_ab, depth, cam, rgb_boundary_threshold=rgb_boundary_threshold, alpha=alpha
+        )
+    gt = cam.image
+    mr = (gt.sum(axis=0) > rgb_boundary_threshold)[None].astype(image_ab.dtype)
+    return jnp.abs(image_ab * mr - gt * mr).mean()
+
+
+def loss_mapping_masked(
+    image: jax.Array,
+    depth: jax.Array,
+    cam: Camera,
+    background: jax.Array,
+    *,
+    lambda_dssim: float = 0.2,
+    depth_lambda: float = 0.1,
+) -> jax.Array:
+    """Dynamic-mask-aware mapping loss (reference utils/slam_backend.py:196-261).
+
+    Dynamic pixels in both render and GT are replaced by the background
+    colour, then L1 + DSSIM; depth L1 is restricted to static & valid pixels.
+    """
+    static = cam.static_mask[None]  # (1, H, W)
+    bg = background[:, None, None]
+    masked_image = jnp.where(static, image, bg)
+    masked_gt = jnp.where(static, cam.image, bg)
+    ll1 = l1_loss(masked_image, masked_gt)
+    ssim_loss = 1.0 - ssim(masked_image, masked_gt)
+    loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * ssim_loss
+
+    d = depth[0] if depth.ndim == 3 else depth
+    depth_mask = cam.static_mask & (cam.mono_depth > 0) & (d > 0)
+    depth_l1 = masked_mean(jnp.abs(d - cam.mono_depth), depth_mask)
+    # reference adds the depth term only when any valid pixel exists
+    loss = loss + depth_lambda * jnp.where(depth_mask.any(), depth_l1, 0.0)
+    return loss
+
+
+def isotropic_reg(scaling: jax.Array, active: jax.Array) -> jax.Array:
+    """|s - mean(s)| isotropy regulariser over active Gaussians
+    (reference utils/slam_backend.py:302-305)."""
+    dev = jnp.abs(scaling - scaling.mean(axis=1, keepdims=True))
+    m = active.astype(scaling.dtype)[:, None]
+    return (dev * m).sum() / (m.sum() * scaling.shape[1] + 1e-8)
+
+
+# ----------------------------------------------------------------------------
+# depth statistics
+
+
+def get_median_depth(
+    depth: jax.Array,
+    opacity: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Median of valid rendered depth (reference utils/slam_utils.py:124-134)."""
+    d = depth.reshape(-1)
+    valid = d > 0
+    if opacity is not None:
+        valid &= opacity.reshape(-1) > 0.95
+    if mask is not None:
+        valid &= mask.reshape(-1)
+    return masked_median(d, valid)

@@ -1,0 +1,467 @@
+"""Differentiable tile-based 3D Gaussian rasterizer (TPU-native).
+
+This replaces the reference's CUDA `diff-gaussian-rasterization` submodule
+(MonoGS fork with camera-pose gradients; API reconstructed from call sites at
+reference utils/slam_backend.py:98-117 and utils/init_pose.py:145). Instead of
+translating the CUDA kernel, the pipeline is re-staged for XLA:
+
+1. **Project** (EWA splatting): world -> camera -> pixel means, 2D covariance
+   via the local affine Jacobian, conic + radius. Dense, fuses into a few
+   XLA ops.
+2. **Bin**: Gaussians are depth-sorted once globally (XLA sort), then each
+   16x16 tile selects its front-most `max_per_tile` intersecting Gaussians
+   with a masked `top_k` over the depth-sorted order — a static-shape
+   replacement for the CUDA (gaussian, tile) pair sort. Chunked over tiles to
+   bound memory.
+3. **Blend**: for all tiles simultaneously, scan over per-tile Gaussian
+   chunks front-to-back carrying per-pixel transmittance; contributions are
+   cut once transmittance < 1e-4 (parity with the CUDA early-stop). The scan
+   body is `jax.checkpoint`ed so backward rematerialises alphas instead of
+   storing the full (tiles, K, pixels) tensor.
+
+Because the whole pipeline is jnp, `jax.grad` provides the backward pass —
+including **camera-pose gradients** when the caller parameterises (R, t) by a
+se(3) delta (see core.lie.apply_delta), which is what the reference's custom
+CUDA backward existed for. Gradients w.r.t. the *screen-space* means (needed
+for densification, reference utils/slam_backend.py:128) are exposed through
+the `vs_offset` zero-parameter in NDC units.
+
+Outputs match the reference render dict: render (3,H,W), depth (1,H,W),
+opacity (1,H,W), radii (C), visibility_filter (C), n_touched (C).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera, Intrinsics
+from ..core import lie
+
+INF = jnp.float32(3.0e38)
+NEAR_PLANE = 0.2  # CUDA 3DGS near-cull
+T_EPS = 1.0e-4  # transmittance early-stop
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+COV_DILATION = 0.3  # low-pass dilation added to 2D covariance
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rasterizer configuration (hashable; jit static arg)."""
+
+    tile_size: int = 16
+    max_per_tile: int = 512
+    gaussian_chunk: int = 32  # K-chunk for the blending scan
+    tile_chunk: int = 128  # tiles per binning map step
+    white_background: bool = False
+
+    def grid(self, intr: Intrinsics):
+        ts = self.tile_size
+        ntx = -(-intr.width // ts)
+        nty = -(-intr.height // ts)
+        return ntx, nty
+
+
+class RenderOutput(NamedTuple):
+    image: jax.Array  # (3, H, W)
+    depth: jax.Array  # (1, H, W) alpha-accumulated z
+    opacity: jax.Array  # (1, H, W) final alpha
+    radii: jax.Array  # (C,) float, 0 for culled
+    visibility_filter: jax.Array  # (C,) bool
+    n_touched: jax.Array  # (C,) int32
+
+
+def quat_to_rotmat(q: jax.Array) -> jax.Array:
+    """(N, 4) wxyz quaternions -> (N, 3, 3) rotation matrices."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+
+
+def project_gaussians(
+    means: jax.Array,
+    quats: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+) -> Dict[str, jax.Array]:
+    """EWA projection of all Gaussians. Everything differentiable."""
+    p_cam = means @ R.T + t  # (C, 3)
+    z = p_cam[:, 2]
+    in_front = z > NEAR_PLANE
+    zs = jnp.where(in_front, z, 1.0)  # guarded division
+
+    mean2d = jnp.stack(
+        [
+            intr.fx * p_cam[:, 0] / zs + intr.cx,
+            intr.fy * p_cam[:, 1] / zs + intr.cy,
+        ],
+        axis=-1,
+    )
+
+    # 3D covariance
+    Rm = quat_to_rotmat(quats)  # (C, 3, 3)
+    S = jnp.exp(log_scales)  # (C, 3)
+    M = Rm * S[:, None, :]
+    cov3d = M @ M.transpose(0, 2, 1)
+
+    # camera-space covariance and local affine Jacobian
+    covc = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
+    tanfovx = math.tan(intr.fovx * 0.5)
+    tanfovy = math.tan(intr.fovy * 0.5)
+    limx, limy = 1.3 * tanfovx, 1.3 * tanfovy
+    txz = jnp.clip(p_cam[:, 0] / zs, -limx, limx)
+    tyz = jnp.clip(p_cam[:, 1] / zs, -limy, limy)
+    j00 = intr.fx / zs
+    j02 = -intr.fx * txz / zs
+    j11 = intr.fy / zs
+    j12 = -intr.fy * tyz / zs
+    # cov2d = J covc J^T for J = [[j00, 0, j02], [0, j11, j12]]
+    a = (
+        j00 * j00 * covc[:, 0, 0]
+        + 2.0 * j00 * j02 * covc[:, 0, 2]
+        + j02 * j02 * covc[:, 2, 2]
+        + COV_DILATION
+    )
+    b = (
+        j00 * j11 * covc[:, 0, 1]
+        + j00 * j12 * covc[:, 0, 2]
+        + j02 * j11 * covc[:, 1, 2]
+        + j02 * j12 * covc[:, 2, 2]
+    )
+    c = (
+        j11 * j11 * covc[:, 1, 1]
+        + 2.0 * j11 * j12 * covc[:, 1, 2]
+        + j12 * j12 * covc[:, 2, 2]
+        + COV_DILATION
+    )
+
+    det = a * c - b * b
+    valid = in_front & active & (det > 0.0)
+    det_s = jnp.where(valid, det, 1.0)
+    conic = jnp.stack([c / det_s, -b / det_s, a / det_s], axis=-1)  # (A, B, C) of inverse
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    radius = jnp.where(valid, radius, 0.0)
+
+    return {
+        "mean2d": mean2d,
+        "conic": conic,
+        "depth": z,
+        "radius": radius,
+        "valid": valid & (radius > 0.0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_size", "max_per_tile", "tile_chunk"))
+def bin_gaussians(
+    mean2d: jax.Array,
+    radius: jax.Array,
+    depth: jax.Array,
+    valid: jax.Array,
+    *,
+    ntx: int,
+    nty: int,
+    tile_size: int,
+    max_per_tile: int,
+    tile_chunk: int,
+):
+    """Per-tile front-most-K selection over the global depth sort.
+
+    Returns (tile_idx (T, K) int32 into original gaussian ids with C for
+    empty slots, slot_valid (T, K) bool). Non-differentiable (indices).
+    """
+    C = mean2d.shape[0]
+    T = ntx * nty
+    K = max_per_tile
+
+    order = jnp.argsort(jnp.where(valid, depth, INF))
+    sm = mean2d[order]
+    sr = radius[order]
+    sv = valid[order]
+
+    if C < K:  # tiny maps: pad sorted arrays so top_k(K) is well-formed
+        pad_n = K - C
+        sm = jnp.concatenate([sm, jnp.zeros((pad_n, 2), sm.dtype)], 0)
+        sr = jnp.concatenate([sr, jnp.zeros((pad_n,), sr.dtype)], 0)
+        sv = jnp.concatenate([sv, jnp.zeros((pad_n,), bool)], 0)
+        order = jnp.concatenate([order, jnp.full((pad_n,), C, order.dtype)], 0)
+
+    # tile AABB of each (sorted) gaussian
+    x0 = jnp.floor((sm[:, 0] - sr) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((sm[:, 0] + sr) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((sm[:, 1] - sr) / tile_size).astype(jnp.int32)
+    y1 = jnp.floor((sm[:, 1] + sr) / tile_size).astype(jnp.int32)
+    on_screen = (x1 >= 0) & (x0 <= ntx - 1) & (y1 >= 0) & (y0 <= nty - 1)
+    sv = sv & on_screen
+
+    ranks = jnp.arange(sv.shape[0], dtype=jnp.float32)
+    n_chunks = -(-T // tile_chunk)
+    T_pad = n_chunks * tile_chunk
+    tids = jnp.arange(T_pad, dtype=jnp.int32)
+    txs = (tids % ntx).reshape(n_chunks, tile_chunk)
+    tys = jnp.minimum(tids // ntx, nty - 1).reshape(n_chunks, tile_chunk)
+
+    def chunk_fn(args):
+        tx, ty = args  # (tile_chunk,)
+        inter = (
+            (x0[None, :] <= tx[:, None])
+            & (x1[None, :] >= tx[:, None])
+            & (y0[None, :] <= ty[:, None])
+            & (y1[None, :] >= ty[:, None])
+            & sv[None, :]
+        )
+        score = jnp.where(inter, -ranks[None, :], -INF)
+        _, sel = jax.lax.top_k(score, K)  # (tile_chunk, K), depth-ascending
+        counts = jnp.minimum(inter.sum(axis=1), K)
+        return sel, counts
+
+    sel, counts = jax.lax.map(chunk_fn, (txs, tys))
+    sel = sel.reshape(T_pad, K)[:T]
+    counts = counts.reshape(T_pad)[:T]
+
+    slot_valid = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1) < counts[:, None]
+    tile_idx = jnp.where(slot_valid, order[sel], C)
+    return tile_idx, slot_valid
+
+
+def _blend(
+    tile_idx: jax.Array,  # (T, K) int32, C = empty
+    slot_valid: jax.Array,  # (T, K)
+    mean2d: jax.Array,  # (C, 2)
+    conic: jax.Array,  # (C, 3)
+    colors: jax.Array,  # (C, 3)
+    opacities: jax.Array,  # (C,)
+    depth: jax.Array,  # (C,)
+    bg: jax.Array,  # (3,)
+    *,
+    ntx: int,
+    nty: int,
+    tile_size: int,
+    gaussian_chunk: int,
+):
+    """Front-to-back alpha blending for every tile at once.
+
+    Scans over K in chunks carrying per-pixel transmittance. Returns tile
+    images plus per-slot touched-pixel counts.
+    """
+    T, K = tile_idx.shape
+    ts = tile_size
+    P = ts * ts
+    C = mean2d.shape[0]
+    Kc = gaussian_chunk
+    n_chunks = K // Kc
+    assert n_chunks * Kc == K, "max_per_tile must be divisible by gaussian_chunk"
+
+    # pad params with a sentinel row (index C)
+    pad = lambda arr, v: jnp.concatenate([arr, jnp.full((1,) + arr.shape[1:], v, arr.dtype)], 0)
+    mean2d_p = pad(mean2d, 0.0)
+    conic_p = pad(conic, 0.0)
+    colors_p = pad(colors, 0.0)
+    opac_p = pad(opacities, 0.0)
+    depth_p = pad(depth, 0.0)
+
+    # per-tile pixel coordinates (pixel centers at integer coords + 0.5 would
+    # be the classic convention; CUDA 3DGS uses pixf = pixel index, so match it)
+    tids = jnp.arange(T, dtype=jnp.int32)
+    ox = (tids % ntx) * ts
+    oy = (tids // ntx) * ts
+    pxo = jnp.tile(jnp.arange(ts, dtype=jnp.float32), ts)  # (P,) x-fast
+    pyo = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)
+    px = ox[:, None].astype(jnp.float32) + pxo[None, :]  # (T, P)
+    py = oy[:, None].astype(jnp.float32) + pyo[None, :]
+
+    idx_chunks = tile_idx.reshape(T, n_chunks, Kc).transpose(1, 0, 2)  # (n, T, Kc)
+    valid_chunks = slot_valid.reshape(T, n_chunks, Kc).transpose(1, 0, 2)
+
+    def body(carry, inp):
+        trans, acc_c, acc_d = carry  # (T,P), (T,P,3), (T,P)
+        idx, sval = inp  # (T, Kc)
+        m = mean2d_p[idx]  # (T, Kc, 2)
+        co = conic_p[idx]  # (T, Kc, 3)
+        col = colors_p[idx]  # (T, Kc, 3)
+        op = opac_p[idx]  # (T, Kc)
+        dep = depth_p[idx]  # (T, Kc)
+
+        dx = px[:, None, :] - m[..., 0:1]  # (T, Kc, P)
+        dy = py[:, None, :] - m[..., 1:2]
+        power = (
+            -0.5 * (co[..., 0:1] * dx * dx + co[..., 2:3] * dy * dy)
+            - co[..., 1:2] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, op[..., None] * jnp.exp(power))
+        alpha = jnp.where(
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & sval[..., None], alpha, 0.0
+        )
+
+        # exclusive cumulative transmittance within the chunk, seeded by carry
+        one_m = 1.0 - alpha
+        cum = jnp.cumprod(one_m, axis=1)
+        t_excl = trans[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
+        )
+        contributes = t_excl > T_EPS  # CUDA early-stop parity
+        w = jnp.where(contributes, alpha * t_excl, 0.0)  # (T, Kc, P)
+
+        acc_c = acc_c + jnp.einsum("tkp,tkc->tpc", w, col)
+        acc_d = acc_d + (w * dep[..., None]).sum(axis=1)
+        touched = (w > 0.0).sum(axis=2).astype(jnp.int32)  # (T, Kc)
+        trans = trans * cum[:, -1, :]
+        return (trans, acc_c, acc_d), touched
+
+    init = (
+        jnp.ones((T, P), jnp.float32),
+        jnp.zeros((T, P, 3), jnp.float32),
+        jnp.zeros((T, P), jnp.float32),
+    )
+    (trans, acc_c, acc_d), touched = jax.lax.scan(
+        jax.checkpoint(body), init, (idx_chunks, valid_chunks)
+    )
+
+    alpha_img = 1.0 - trans  # (T, P)
+    img = acc_c + trans[..., None] * bg[None, None, :]
+
+    # accumulate touched counts per gaussian
+    touched_flat = touched.transpose(1, 0, 2).reshape(T, K)
+    n_touched = jnp.zeros((C,), jnp.int32).at[tile_idx.reshape(-1)].add(
+        touched_flat.reshape(-1), mode="drop"
+    )
+    return img, acc_d, alpha_img, n_touched
+
+
+def _tiles_to_image(tiles: jax.Array, ntx: int, nty: int, ts: int, H: int, W: int):
+    """(T, P, ...) tile buffers -> (H, W, ...) image crop."""
+    extra = tiles.shape[2:]
+    img = tiles.reshape(nty, ntx, ts, ts, *extra)
+    img = jnp.moveaxis(img, 2, 1).reshape(nty * ts, ntx * ts, *extra)
+    return img[:H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def rasterize(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    vs_offset: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Low-level differentiable rasterization.
+
+    `params` holds means/features_dc/log_scales/quats/logit_opacities
+    (GaussianMap.params()). Differentiable w.r.t. params, R, t and
+    vs_offset. `vs_offset` is a (C, 2) zero tensor in NDC units whose
+    gradient equals the screen-space mean gradient used for densification.
+    """
+    ntx, nty = cfg.grid(intr)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t, intr
+    )
+    mean2d = proj["mean2d"]
+    if vs_offset is not None:
+        ndc_scale = jnp.array([intr.width * 0.5, intr.height * 0.5], jnp.float32)
+        mean2d = mean2d + vs_offset * ndc_scale[None, :]
+
+    from ..gaussian.model import SH_C0  # local import to avoid cycle
+
+    colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
+    opac = jax.nn.sigmoid(params["logit_opacities"])
+
+    tile_idx, slot_valid = bin_gaussians(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(proj["radius"]),
+        jax.lax.stop_gradient(proj["depth"]),
+        proj["valid"],
+        ntx=ntx,
+        nty=nty,
+        tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile,
+        tile_chunk=cfg.tile_chunk,
+    )
+
+    bg = (
+        jnp.ones((3,), jnp.float32)
+        if cfg.white_background
+        else jnp.zeros((3,), jnp.float32)
+    )
+    img_t, depth_t, alpha_t, n_touched = _blend(
+        tile_idx,
+        slot_valid,
+        mean2d,
+        proj["conic"],
+        colors,
+        opac,
+        proj["depth"],
+        bg,
+        ntx=ntx,
+        nty=nty,
+        tile_size=cfg.tile_size,
+        gaussian_chunk=cfg.gaussian_chunk,
+    )
+
+    H, W = intr.height, intr.width
+    ts = cfg.tile_size
+    image = _tiles_to_image(img_t, ntx, nty, ts, H, W).transpose(2, 0, 1)
+    depth = _tiles_to_image(depth_t, ntx, nty, ts, H, W)[None]
+    opacity = _tiles_to_image(alpha_t, ntx, nty, ts, H, W)[None]
+
+    return RenderOutput(
+        image=image,
+        depth=depth,
+        opacity=opacity,
+        radii=proj["radius"],
+        visibility_filter=proj["valid"],
+        n_touched=n_touched,
+    )
+
+
+def render(
+    gmap,
+    cam: Camera,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    tau: Optional[jax.Array] = None,
+    vs_offset: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Reference-`render` parity wrapper (utils/slam_backend.py:98-117).
+
+    When `tau` is given, the camera pose is exp(tau) @ [R|T] so gradients
+    w.r.t. tau are the pose gradients the reference obtained from its CUDA
+    backward.
+    """
+    if tau is None:
+        R, t = cam.R, cam.T
+    else:
+        R, t = lie.apply_delta(cam.R, cam.T, tau)
+    return rasterize(gmap.params(), gmap.active, R, t, intr, cfg, vs_offset=vs_offset)
+
+
+def render_with_custom_resolution(
+    gmap,
+    cam: Camera,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    target_width: int,
+    target_height: int,
+) -> RenderOutput:
+    """Render at a different resolution with rescaled intrinsics
+    (reference utils/init_pose.py:145 / gaussian_renderer parity)."""
+    sub_intr = intr.scaled(target_width, target_height)
+    return rasterize(gmap.params(), gmap.active, cam.R, cam.T, sub_intr, cfg)
