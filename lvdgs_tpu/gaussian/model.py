@@ -120,6 +120,19 @@ def _alloc_destinations(active: jax.Array, want: jax.Array) -> Tuple[jax.Array, 
     return dest, ok
 
 
+def zero_adam_slots(opt_state: "AdamState", dest: jax.Array, fields=PARAM_FIELDS) -> "AdamState":
+    """Zero Adam moments at (re)allocated slots — parity with 3DGS's
+    optimizer-state surgery (cat_tensors_to_optimizer zeroes exp_avg of new
+    rows)."""
+    new_m = dict(opt_state.m)
+    new_v = dict(opt_state.v)
+    for f in fields:
+        zeros = jnp.zeros((dest.shape[0],) + opt_state.m[f].shape[1:], opt_state.m[f].dtype)
+        new_m[f] = opt_state.m[f].at[dest].set(zeros, mode="drop")
+        new_v[f] = opt_state.v[f].at[dest].set(zeros, mode="drop")
+    return opt_state.replace(m=new_m, v=new_v)
+
+
 def _write_new(
     gmap: GaussianMap,
     dest: jax.Array,
@@ -220,7 +233,8 @@ def seed_from_depth(
     point_size: float = 0.01,
     adaptive_pointsize: bool = True,
     init_opacity: float = 0.5,
-) -> GaussianMap:
+    opt_state: "AdamState | None" = None,
+):
     """Seed new Gaussians from a (masked) depth map.
 
     Parity with the reconstructed `extend_from_pcd_seq` (SURVEY.md §2.9;
@@ -249,7 +263,7 @@ def seed_from_depth(
 
     dest, ok = _alloc_destinations(gmap.active, valid)
     kf = jnp.asarray(kf_id, jnp.int32)
-    return _write_new(
+    out = _write_new(
         gmap,
         dest,
         ok,
@@ -260,6 +274,9 @@ def seed_from_depth(
         logit_opacities=jnp.full((P,), inverse_sigmoid(jnp.float32(init_opacity))),
         kf_id=jnp.full((P,), kf, jnp.int32),
     )
+    if opt_state is None:
+        return out
+    return out, zero_adam_slots(opt_state, dest)
 
 
 # ---------------------------------------------------------------------------
@@ -297,22 +314,40 @@ def prune_points(gmap: GaussianMap, mask: jax.Array) -> GaussianMap:
     )
 
 
-def reset_opacity(gmap: GaussianMap) -> GaussianMap:
-    """opacity <- min(opacity, 0.01) on active Gaussians (3DGS reset_opacity)."""
+def _zero_opacity_moments(opt_state: "AdamState", target: jax.Array) -> "AdamState":
+    keep = ~target
+    new_m = dict(opt_state.m)
+    new_v = dict(opt_state.v)
+    new_m["logit_opacities"] = jnp.where(keep, opt_state.m["logit_opacities"], 0.0)
+    new_v["logit_opacities"] = jnp.where(keep, opt_state.v["logit_opacities"], 0.0)
+    return opt_state.replace(m=new_m, v=new_v)
+
+
+def reset_opacity(gmap: GaussianMap, opt_state: "AdamState | None" = None):
+    """opacity <- min(opacity, 0.01) on active Gaussians (3DGS reset_opacity,
+    which also resets the opacity optimizer moments)."""
     new_logit = inverse_sigmoid(jnp.minimum(gmap.opacities, 0.01))
-    return gmap.replace(
+    out = gmap.replace(
         logit_opacities=jnp.where(gmap.active, new_logit, gmap.logit_opacities)
     )
+    if opt_state is None:
+        return out
+    return out, _zero_opacity_moments(opt_state, gmap.active)
 
 
-def reset_opacity_nonvisible(gmap: GaussianMap, visible_any: jax.Array) -> GaussianMap:
+def reset_opacity_nonvisible(
+    gmap: GaussianMap, visible_any: jax.Array, opt_state: "AdamState | None" = None
+):
     """Opacity reset restricted to Gaussians seen by no window keyframe
     (reference utils/slam_backend.py:375)."""
     target = gmap.active & ~visible_any
     new_logit = inverse_sigmoid(jnp.minimum(gmap.opacities, 0.01))
-    return gmap.replace(
+    out = gmap.replace(
         logit_opacities=jnp.where(target, new_logit, gmap.logit_opacities)
     )
+    if opt_state is None:
+        return out
+    return out, _zero_opacity_moments(opt_state, target)
 
 
 def _split_samples(key, means, log_scales, quats):
@@ -336,7 +371,8 @@ def densify_and_prune(
     extent: float,
     max_screen_size: float | None,
     percent_dense: float = 0.01,
-) -> GaussianMap:
+    opt_state: "AdamState | None" = None,
+):
     """Clone + split + prune, 3DGS `densify_and_prune` semantics at static
     shape (consumed at reference utils/slam_backend.py:132-137, 364-369)."""
     grads = jnp.where(gmap.grad_denom > 0, gmap.grad_accum / jnp.maximum(gmap.grad_denom, 1.0), 0.0)
@@ -360,10 +396,16 @@ def densify_and_prune(
         logit_opacities=gmap.logit_opacities,
         kf_id=gmap.unique_kf_ids,
     )
+    if opt_state is not None:
+        opt_state = zero_adam_slots(opt_state, dest)
 
-    # --- split: two children at 1/1.6 scale, parent pruned
+    # --- split: two children at 1/1.6 scale, parent pruned. At full
+    # capacity a child may fail to allocate; a parent is only pruned when at
+    # least one child was actually written (otherwise splitting at capacity
+    # would silently destroy map mass).
     k1, k2 = jax.random.split(key)
     child_ls = gmap.log_scales - jnp.log(1.6)
+    any_child_ok = jnp.zeros_like(split_mask)
     for kk in (k1, k2):
         child_means = _split_samples(kk, gmap.means, gmap.log_scales, gmap.quats)
         dest, ok = _alloc_destinations(gmap.active, split_mask)
@@ -378,7 +420,10 @@ def densify_and_prune(
             logit_opacities=gmap.logit_opacities,
             kf_id=gmap.unique_kf_ids,
         )
-    gmap = prune_points(gmap, split_mask)
+        if opt_state is not None:
+            opt_state = zero_adam_slots(opt_state, dest)
+        any_child_ok = any_child_ok | ok
+    gmap = prune_points(gmap, split_mask & any_child_ok)
 
     # --- prune by opacity / screen size / world size
     prune_mask = gmap.active & (gmap.opacities < min_opacity)
@@ -389,11 +434,14 @@ def densify_and_prune(
     gmap = prune_points(gmap, prune_mask)
 
     # reset densification stats (3DGS zeroes them after densify)
-    return gmap.replace(
+    gmap = gmap.replace(
         grad_accum=jnp.zeros_like(gmap.grad_accum),
         grad_denom=jnp.zeros_like(gmap.grad_denom),
         max_radii2d=jnp.zeros_like(gmap.max_radii2d),
     )
+    if opt_state is None:
+        return gmap
+    return gmap, opt_state
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,443 @@
+"""Jitted windowed mapping (the reference BackEnd re-designed for TPU).
+
+One call = one whole `map()` invocation of the reference backend
+(utils/slam_backend.py:153-390): `n_iters` optimisation iterations over the
+keyframe window + 2 random historical keyframes, with mask-aware losses,
+isotropic regularisation, densify/prune cadence, opacity resets, the 3DGS
+Adam with position LR schedule, and windowed pose refinement — all inside a
+single `lax.fori_loop`, so a keyframe's 150-iteration mapping run is ONE
+device dispatch instead of 150 Python round-trips.
+
+The random-replay keyframes are sampled on device from the KeyframeBuffer
+(reference: torch.randperm over host dict, utils/slam_backend.py:275).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import Intrinsics
+from ..core.losses import l1_loss, ssim, masked_mean, isotropic_reg
+from ..gaussian import model as gm
+from ..ops.rasterizer import RenderConfig, rasterize
+from .state import KeyframeBuffer, camera_from_slot
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Static mapping hyper-parameters (reference Training/opt_params groups,
+    configs/mono/KITTI/base_config.yaml)."""
+
+    window_size: int = 8
+    pose_window: int = 3
+    n_random: int = 2
+    lambda_dssim: float = 0.2
+    depth_lambda: float = 0.1
+    alpha: float = 0.95
+    rgb_boundary_threshold: float = 0.01
+    isotropic_weight: float = 10.0
+    lr_rot: float = 0.0015  # reference: cam lr * 0.5 in backend
+    lr_trans: float = 0.0005
+    lr_exposure: float = 0.01
+    adam_eps: float = 1e-8
+    b1: float = 0.9
+    b2: float = 0.999
+    # densification
+    densify_grad_threshold: float = 0.0002
+    percent_dense: float = 0.01
+    gaussian_update_every: int = 150
+    gaussian_update_offset: int = 50
+    gaussian_th: float = 0.7
+    gaussian_extent: float = 6.0  # cameras_extent * Training.gaussian_extent
+    gaussian_reset: int = 2001
+    size_threshold: float = 20.0
+    # initialisation mode (reference initialize_map, utils/slam_backend.py:95-149)
+    initialization: bool = False
+    init_gaussian_update: int = 100
+    init_gaussian_reset: int = 500
+    init_gaussian_th: float = 0.005
+    init_gaussian_extent: float = 180.0  # cameras_extent * init_gaussian_extent
+    densify_from_iter: int = 500
+    monocular: bool = True
+    up_pose: bool = True
+
+
+class MappingResult(NamedTuple):
+    gmap: gm.GaussianMap
+    opt_state: gm.AdamState
+    kfbuf: KeyframeBuffer
+    occ_visibility: jax.Array  # (Ws, C) bool n_touched>0 per window cam
+    iteration_count: jax.Array
+    last_loss: jax.Array
+
+
+def _adam(m, v, g, it, lr, b1, b2, eps):
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * g * g
+    itf = it.astype(jnp.float32)
+    mhat = m / (1 - b1**itf)
+    vhat = v / (1 - b2**itf)
+    return m, v, lr * mhat / (jnp.sqrt(vhat) + eps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "rcfg", "opt", "mcfg"),
+    donate_argnames=("gmap", "opt_state"),
+)
+def mapping_run(
+    gmap: gm.GaussianMap,
+    opt_state: gm.AdamState,
+    kfbuf: KeyframeBuffer,
+    window_slots: jax.Array,  # (Ws,) int32, -1 padded
+    rng: jax.Array,
+    iteration_count: jax.Array,  # () int32 cumulative
+    n_iters: jax.Array,  # () int32 traced — no recompile across 10/150/300/1050
+    local_it0: jax.Array | int = 0,  # continue a split run's local counter
+    *,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    opt: gm.MapOptimizer,
+    mcfg: MappingConfig,
+) -> MappingResult:
+    Ws = window_slots.shape[0]
+    Nr = mcfg.n_random
+    Ncam = Ws + Nr
+    C = gmap.capacity
+    M = kfbuf.capacity
+
+    window_valid = window_slots >= 0
+    safe_slots = jnp.clip(window_slots, 0, M - 1)
+    window_frame_idx = jnp.where(window_valid, kfbuf.frame_idx[safe_slots], -1)
+
+    # replay eligibility: stored, not in window
+    is_window = jnp.zeros((M,), bool).at[jnp.where(window_valid, safe_slots, M)].set(
+        window_valid, mode="drop"
+    )
+    eligible = (jnp.arange(M) < kfbuf.count) & ~is_window
+    n_elig = eligible.sum()
+    elig_order = jnp.argsort(~eligible, stable=True)  # eligible slots first
+
+    # per-camera optimisation masks (reference utils/slam_backend.py:561-597)
+    not_frame0 = window_frame_idx != 0
+    pose_mask = (
+        window_valid & not_frame0 & (jnp.arange(Ws) < mcfg.pose_window) & mcfg.up_pose
+    )
+    expo_mask = window_valid & not_frame0
+
+    bg = jnp.full((3,), 1.0 if rcfg.white_background else 0.0, jnp.float32)
+
+    def camera_losses(p, active, taus, abs_, vs, Rw, Tw, replay_slots, replay_w):
+        """Loss over Ws window cams + Nr replay cams; returns (loss, aux).
+
+        `active` must be the CARRIED activity mask (not the initial one) so
+        Gaussians densified mid-run render immediately."""
+        slots_all = jnp.concatenate([safe_slots, replay_slots])
+        R_all = jnp.concatenate([Rw, kfbuf.R[replay_slots]], 0)
+        T_all = jnp.concatenate([Tw, kfbuf.T[replay_slots]], 0)
+        tau_all = jnp.concatenate([taus, jnp.zeros((Nr, 6))], 0)
+        ab_all = jnp.concatenate([abs_, kfbuf.exposure_ab[replay_slots]], 0)
+        w_all = jnp.concatenate([window_valid.astype(jnp.float32), replay_w])
+        is_win = jnp.concatenate([jnp.ones(Ws, bool), jnp.zeros(Nr, bool)])
+
+        def per_cam(xs):
+            slot, R_i, T_i, tau_i, ab_i, vs_i, w_i, is_w = xs
+            cam = camera_from_slot(kfbuf, slot)
+            Rn, Tn = lie.apply_delta(R_i, T_i, tau_i)
+            out = rasterize(p, active, Rn, Tn, intr, rcfg, vs_offset=vs_i)
+            gt = cam.image
+            d = out.depth[0]
+
+            if mcfg.initialization:
+                # loss_mapping(initialization=True): no exposure, rgb+depth mix
+                mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(jnp.float32)
+                md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
+                loss = mcfg.alpha * jnp.abs(out.image * mr - gt * mr).mean() + (
+                    1 - mcfg.alpha
+                ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+            else:
+
+                def masked_branch(_):
+                    # reference utils/slam_backend.py:196-261 (no exposure)
+                    static = cam.static_mask[None]
+                    mi = jnp.where(static, out.image, bg[:, None, None])
+                    mg = jnp.where(static, gt, bg[:, None, None])
+                    ll1 = l1_loss(mi, mg)
+                    loss = (1.0 - mcfg.lambda_dssim) * ll1 + mcfg.lambda_dssim * (
+                        1.0 - ssim(mi, mg)
+                    )
+                    dm = cam.static_mask & (cam.mono_depth > 0) & (d > 0)
+                    dl = masked_mean(jnp.abs(d - cam.mono_depth), dm)
+                    return loss + mcfg.depth_lambda * jnp.where(dm.any(), dl, 0.0)
+
+                def plain_branch(_):
+                    # get_loss_mapping (exposure-compensated rgbd)
+                    image_ab = jnp.exp(ab_i[0]) * out.image + ab_i[1]
+                    mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(
+                        jnp.float32
+                    )
+                    md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
+                    return mcfg.alpha * jnp.abs(image_ab * mr - gt * mr).mean() + (
+                        1 - mcfg.alpha
+                    ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+
+                use_mask = cam.has_static_mask & is_w
+                loss = jax.lax.cond(use_mask, masked_branch, plain_branch, None)
+
+            aux = (out.visibility_filter, out.radii, out.n_touched)
+            return loss * w_i, aux
+
+        losses, aux = jax.lax.map(
+            per_cam, (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
+        )
+        total = losses.sum()
+        # isotropic regulariser (reference utils/slam_backend.py:302-305)
+        total = total + mcfg.isotropic_weight * isotropic_reg(
+            jnp.exp(p["log_scales"]), active
+        )
+        return total, aux
+
+    class Carry(NamedTuple):
+        gmap: gm.GaussianMap
+        opt_state: gm.AdamState
+        Rw: jax.Array
+        Tw: jax.Array
+        abw: jax.Array
+        m_tau: jax.Array
+        v_tau: jax.Array
+        m_ab: jax.Array
+        v_ab: jax.Array
+        occ_vis: jax.Array
+        rng: jax.Array
+        it_count: jax.Array
+        local_it: jax.Array
+        loss: jax.Array
+
+    def body(_, c: Carry) -> Carry:
+        rng, k_r1, k_r2, k_densify = jax.random.split(c.rng, 4)
+        it_count = c.it_count + 1
+        local_it = c.local_it + 1
+
+        # sample 2 distinct replay keyframes
+        r1 = jax.random.randint(k_r1, (), 0, jnp.maximum(n_elig, 1))
+        r2 = (r1 + 1 + jax.random.randint(k_r2, (), 0, jnp.maximum(n_elig - 1, 1))) % jnp.maximum(
+            n_elig, 1
+        )
+        replay_slots = jnp.stack([elig_order[r1], elig_order[r2]])[:Nr]
+        replay_w = jnp.stack(
+            [(n_elig > 0).astype(jnp.float32), (n_elig > 1).astype(jnp.float32)]
+        )[:Nr]
+        # reference map() is a no-op on an empty window
+        # (utils/slam_backend.py:154-155) — don't optimise replay-only
+        replay_w = replay_w * window_valid.any().astype(jnp.float32)
+        if mcfg.initialization:
+            replay_w = jnp.zeros_like(replay_w)
+
+        vs0 = jnp.zeros((Ncam, C, 2), jnp.float32)
+        taus0 = jnp.zeros((Ws, 6), jnp.float32)
+
+        (loss, aux), grads = jax.value_and_grad(
+            camera_losses, argnums=(0, 2, 3, 4), has_aux=True
+        )(
+            c.gmap.params(),
+            c.gmap.active,
+            taus0,
+            c.abw,
+            vs0,
+            c.Rw,
+            c.Tw,
+            replay_slots,
+            replay_w,
+        )
+        g_params, g_tau, g_ab, g_vs = grads
+        vis_all, radii_all, n_touched_all = aux  # (Ncam, C)
+
+        gmap = c.gmap
+        # stats accumulation over ALL *valid* cameras (reference :350-357);
+        # padded window slots render with zero loss weight and must not
+        # contribute visibility
+        cam_valid = jnp.concatenate([window_valid, replay_w > 0])
+        vis_b = vis_all & gmap.active[None, :] & cam_valid[:, None]
+        gmap = gmap.replace(
+            max_radii2d=jnp.maximum(
+                gmap.max_radii2d, jnp.where(vis_b, radii_all, 0.0).max(axis=0)
+            ),
+            grad_accum=gmap.grad_accum
+            + (jnp.linalg.norm(g_vs, axis=-1) * vis_b).sum(axis=0),
+            grad_denom=gmap.grad_denom + vis_b.sum(axis=0).astype(jnp.float32),
+        )
+
+        opt_state = c.opt_state
+        # densify / opacity reset cadence
+        if mcfg.initialization:
+            do_densify = (local_it - 1) % mcfg.init_gaussian_update == 0
+            do_reset = (it_count == mcfg.init_gaussian_reset) | (
+                it_count == mcfg.densify_from_iter
+            )
+            th, ext, max_screen = (
+                mcfg.init_gaussian_th,
+                mcfg.init_gaussian_extent,
+                None,
+            )
+        else:
+            do_densify = it_count % mcfg.gaussian_update_every == mcfg.gaussian_update_offset
+            do_reset = (it_count % mcfg.gaussian_reset == 0) & ~do_densify
+            th, ext, max_screen = (
+                mcfg.gaussian_th,
+                mcfg.gaussian_extent,
+                mcfg.size_threshold,
+            )
+
+        def densify_fn(args):
+            g, s = args
+            return gm.densify_and_prune(
+                g,
+                k_densify,
+                grad_threshold=mcfg.densify_grad_threshold,
+                min_opacity=th,
+                extent=ext,
+                max_screen_size=max_screen,
+                percent_dense=mcfg.percent_dense,
+                opt_state=s,
+            )
+
+        gmap, opt_state = jax.lax.cond(
+            do_densify, densify_fn, lambda a: a, (gmap, opt_state)
+        )
+
+        if mcfg.initialization:
+
+            def reset_fn(args):
+                g, s = args
+                return gm.reset_opacity(g, opt_state=s)
+
+        else:
+            visible_any = ((n_touched_all[:Ws] > 0) & window_valid[:, None]).any(axis=0)
+
+            def reset_fn(args):
+                g, s = args
+                return gm.reset_opacity_nonvisible(g, visible_any, opt_state=s)
+
+        gmap, opt_state = jax.lax.cond(do_reset, reset_fn, lambda a: a, (gmap, opt_state))
+
+        # gaussian Adam step + LR schedule (reference :378-380)
+        lr_step = jnp.where(mcfg.initialization, 0, it_count)
+        gmap, opt_state = opt.step(gmap, g_params, opt_state, lr_step)
+
+        # keyframe pose/exposure Adam (fresh state per run, reference :598)
+        lr_tau = jnp.concatenate(
+            [jnp.full((3,), mcfg.lr_trans), jnp.full((3,), mcfg.lr_rot)]
+        )
+        m_tau, v_tau, upd_tau = _adam(
+            c.m_tau, c.v_tau, g_tau, local_it, lr_tau[None, :], mcfg.b1, mcfg.b2, mcfg.adam_eps
+        )
+        tau_new = jnp.where(pose_mask[:, None], -upd_tau, 0.0)
+        Rw, Tw = jax.vmap(lie.apply_delta)(c.Rw, c.Tw, tau_new)
+
+        m_ab, v_ab, upd_ab = _adam(
+            c.m_ab, c.v_ab, g_ab, local_it, mcfg.lr_exposure, mcfg.b1, mcfg.b2, mcfg.adam_eps
+        )
+        abw = c.abw - jnp.where(expo_mask[:, None], upd_ab, 0.0)
+
+        occ_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+        return Carry(
+            gmap=gmap,
+            opt_state=opt_state,
+            Rw=Rw,
+            Tw=Tw,
+            abw=abw,
+            m_tau=m_tau,
+            v_tau=v_tau,
+            m_ab=m_ab,
+            v_ab=v_ab,
+            occ_vis=occ_vis,
+            rng=rng,
+            it_count=it_count,
+            local_it=local_it,
+            loss=loss,
+        )
+
+    init = Carry(
+        gmap=gmap,
+        opt_state=opt_state,
+        Rw=kfbuf.R[safe_slots],
+        Tw=kfbuf.T[safe_slots],
+        abw=kfbuf.exposure_ab[safe_slots],
+        m_tau=jnp.zeros((Ws, 6)),
+        v_tau=jnp.zeros((Ws, 6)),
+        m_ab=jnp.zeros((Ws, 2)),
+        v_ab=jnp.zeros((Ws, 2)),
+        occ_vis=jnp.zeros((Ws, C), bool),
+        rng=rng,
+        it_count=iteration_count,
+        local_it=jnp.asarray(local_it0, jnp.int32),
+        loss=jnp.zeros(()),
+    )
+    c = jax.lax.fori_loop(0, n_iters, body, init)
+
+    # write refined window poses/exposures back into the buffer
+    kfbuf = kfbuf.replace(
+        R=kfbuf.R.at[jnp.where(window_valid, safe_slots, M)].set(c.Rw, mode="drop"),
+        T=kfbuf.T.at[jnp.where(window_valid, safe_slots, M)].set(c.Tw, mode="drop"),
+        exposure_ab=kfbuf.exposure_ab.at[
+            jnp.where(window_valid, safe_slots, M)
+        ].set(c.abw, mode="drop"),
+    )
+    return MappingResult(
+        gmap=c.gmap,
+        opt_state=c.opt_state,
+        kfbuf=kfbuf,
+        occ_visibility=c.occ_vis,
+        iteration_count=c.it_count,
+        last_loss=c.loss,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "rcfg", "prune_num", "window_size"))
+def covisibility_prune(
+    gmap: gm.GaussianMap,
+    kfbuf: KeyframeBuffer,
+    window_slots: jax.Array,
+    initialized: jax.Array,  # () bool
+    *,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    prune_num: int,
+    window_size: int,
+):
+    """The reference `map(prune=True)` branch (utils/slam_backend.py:317-348):
+    recompute per-window visibility, accumulate n_obs, prune Gaussians from
+    recent keyframes seen by <= prune_num views. Runs only with a full
+    window. Returns (gmap, occ_vis (Ws, C) bool, initialized')."""
+    Ws = window_slots.shape[0]
+    M = kfbuf.capacity
+    window_valid = window_slots >= 0
+    safe_slots = jnp.clip(window_slots, 0, M - 1)
+
+    def per_cam(slot):
+        out = rasterize(
+            gmap.params(), gmap.active, kfbuf.R[slot], kfbuf.T[slot], intr, rcfg
+        )
+        return out.n_touched > 0
+
+    occ_vis = jax.lax.map(per_cam, safe_slots) & window_valid[:, None]
+    n_obs = occ_vis.sum(axis=0).astype(jnp.int32)
+    gmap = gmap.replace(n_obs=n_obs)
+
+    full_window = window_valid.sum() == window_size
+    frame_idx = jnp.where(window_valid, kfbuf.frame_idx[safe_slots], -1)
+    # third-newest keyframe index (sorted descending [2])
+    sorted_desc = -jnp.sort(-frame_idx)
+    third_newest = sorted_desc[jnp.minimum(2, Ws - 1)]
+    recent_mask = jnp.where(
+        initialized, gmap.unique_kf_ids >= third_newest, gmap.unique_kf_ids >= 0
+    )
+    to_prune = (n_obs <= prune_num) & recent_mask & gmap.active & full_window
+    gmap = gm.prune_points(gmap, to_prune)
+    occ_vis = occ_vis & ~to_prune[None, :]
+    return gmap, occ_vis, initialized | full_window
