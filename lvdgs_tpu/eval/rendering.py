@@ -1,0 +1,137 @@
+"""Rendering-quality evaluation: PSNR / SSIM / LPIPS, full-image and
+static-region variants.
+
+Parity with reference eval_rendering (utils/eval_utils_0806.py:172-437):
+every non-keyframe frame is rendered from its estimated pose and compared to
+GT; when a static mask exists, additional metrics are computed with dynamic
+pixels filled by the background color. LPIPS uses torchmetrics (CPU torch)
+when available and is skipped gracefully otherwise (the reference's
+unconditional wandb/torchmetrics imports are a fragility we drop).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Intrinsics
+from ..core.losses import psnr as psnr_fn, ssim as ssim_fn
+from ..core.log import Log
+from ..ops.rasterizer import RenderConfig, rasterize
+
+_lpips_metric = None
+
+
+def _lpips(a: np.ndarray, b: np.ndarray) -> Optional[float]:
+    """LPIPS(alex) via torchmetrics on CPU; None when unavailable."""
+    global _lpips_metric
+    try:
+        if _lpips_metric is None:
+            import torch
+            from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+
+            _lpips_metric = LearnedPerceptualImagePatchSimilarity(
+                net_type="alex", normalize=True
+            )
+        import torch
+
+        ta = torch.from_numpy(a[None]).float()
+        tb = torch.from_numpy(b[None]).float()
+        return float(_lpips_metric(ta.clamp(0, 1), tb.clamp(0, 1)))
+    except Exception:
+        return None
+
+
+def eval_rendering(
+    gmap,
+    frames: Dict[int, dict],
+    dataset,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    save_dir: Optional[str] = None,
+    kf_indices: Optional[List[int]] = None,
+    iteration: str = "final",
+    max_frames: Optional[int] = None,
+) -> Dict[str, float]:
+    """Render every non-keyframe frame from its estimated pose.
+
+    `frames` maps frame_idx -> {"R","T",...} plus optionally "static_mask"
+    (H, W) bool. Returns mean psnr/ssim/lpips (+ *_static when masks exist).
+    """
+    kf_set = set(kf_indices or [])
+    img_pred, img_gt = [], []
+    psnrs, ssims, lpipss = [], [], []
+    psnrs_s, ssims_s = [], []
+
+    params = gmap.params()
+    active = gmap.active
+    bg = np.ones(3, np.float32) if rcfg.white_background else np.zeros(3, np.float32)
+
+    end = len(dataset) if max_frames is None else min(len(dataset), max_frames)
+    interval = 1
+    for idx in range(0, end, interval):
+        if idx in kf_set or idx not in frames:
+            continue
+        f = frames[idx]
+        image, _, _, _ = dataset[idx]
+        gt = jnp.asarray(image)
+        out = rasterize(
+            params, active, jnp.asarray(f["R"]), jnp.asarray(f["T"]), intr, rcfg
+        )
+        render = jnp.clip(out.image, 0.0, 1.0)
+        valid = (gt.sum(axis=0) > 0.01)[None]
+        psnrs.append(float(psnr_fn(render, gt, valid)))
+        ssims.append(float(ssim_fn(render, gt)))
+        lp = _lpips(np.asarray(render), np.asarray(gt))
+        if lp is not None:
+            lpipss.append(lp)
+
+        static = f.get("static_mask")
+        if static is not None:
+            sm = jnp.asarray(static)[None]
+            render_s = jnp.where(sm, render, jnp.asarray(bg)[:, None, None])
+            gt_s = jnp.where(sm, gt, jnp.asarray(bg)[:, None, None])
+            psnrs_s.append(float(psnr_fn(render_s, gt_s, valid & sm)))
+            ssims_s.append(float(ssim_fn(render_s, gt_s)))
+
+        if save_dir is not None and idx % 20 == 0:
+            _dump_frame(save_dir, iteration, idx, np.asarray(render), np.asarray(gt),
+                        np.asarray(out.depth[0]))
+
+    result = {
+        "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+        "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else -1.0,
+        "n_eval_frames": len(psnrs),
+    }
+    if psnrs_s:
+        result["mean_psnr_static"] = float(np.mean(psnrs_s))
+        result["mean_ssim_static"] = float(np.mean(ssims_s))
+    Log(
+        f"Rendering eval [{iteration}]: PSNR {result['mean_psnr']:.2f} dB, "
+        f"SSIM {result['mean_ssim']:.4f}, LPIPS {result['mean_lpips']:.4f} "
+        f"({result['n_eval_frames']} frames)",
+        tag="Eval",
+    )
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, f"metrics_{iteration}.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+def _dump_frame(save_dir, iteration, idx, render, gt, depth):
+    try:
+        from PIL import Image
+
+        d = os.path.join(save_dir, f"renders_{iteration}")
+        os.makedirs(d, exist_ok=True)
+        Image.fromarray(
+            (np.clip(render, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+        ).save(os.path.join(d, f"{idx:05d}.png"))
+        np.save(os.path.join(d, f"depth_{idx:05d}.npy"), depth)
+    except Exception:
+        pass

@@ -59,6 +59,11 @@ class RenderConfig:
     gaussian_chunk: int = 32  # K-chunk for the blending scan
     tile_chunk: int = 128  # tiles per binning map step
     white_background: bool = False
+    # hierarchical binning: coarse tiles of (coarse_factor x coarse_factor)
+    # fine tiles pre-select max_per_coarse front-most candidates so the
+    # per-fine-tile top_k runs over ~4k candidates instead of the full map
+    coarse_factor: int = 8
+    max_per_coarse: int = 4096
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -169,7 +174,18 @@ def project_gaussians(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_size", "max_per_tile", "tile_chunk"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ntx",
+        "nty",
+        "tile_size",
+        "max_per_tile",
+        "tile_chunk",
+        "coarse_factor",
+        "max_per_coarse",
+    ),
+)
 def bin_gaussians(
     mean2d: jax.Array,
     radius: jax.Array,
@@ -181,8 +197,16 @@ def bin_gaussians(
     tile_size: int,
     max_per_tile: int,
     tile_chunk: int,
+    coarse_factor: int = 8,
+    max_per_coarse: int = 4096,
 ):
     """Per-tile front-most-K selection over the global depth sort.
+
+    Two-level: coarse tiles (coarse_factor^2 fine tiles) first select their
+    `max_per_coarse` front-most intersecting Gaussians with one masked top_k
+    over the depth-sorted order; each fine tile then top_k's only within its
+    parent's candidate list. This replaces the CUDA (gaussian, tile) pair
+    sort at static shape while keeping the per-fine-tile work ~C/30.
 
     Returns (tile_idx (T, K) int32 into original gaussian ids with C for
     empty slots, slot_valid (T, K) bool). Non-differentiable (indices).
@@ -202,8 +226,9 @@ def bin_gaussians(
         sr = jnp.concatenate([sr, jnp.zeros((pad_n,), sr.dtype)], 0)
         sv = jnp.concatenate([sv, jnp.zeros((pad_n,), bool)], 0)
         order = jnp.concatenate([order, jnp.full((pad_n,), C, order.dtype)], 0)
+    Cs = sv.shape[0]
 
-    # tile AABB of each (sorted) gaussian
+    # fine-tile AABB of each (sorted) gaussian
     x0 = jnp.floor((sm[:, 0] - sr) / tile_size).astype(jnp.int32)
     x1 = jnp.floor((sm[:, 0] + sr) / tile_size).astype(jnp.int32)
     y0 = jnp.floor((sm[:, 1] - sr) / tile_size).astype(jnp.int32)
@@ -211,7 +236,37 @@ def bin_gaussians(
     on_screen = (x1 >= 0) & (x0 <= ntx - 1) & (y1 >= 0) & (y0 <= nty - 1)
     sv = sv & on_screen
 
-    ranks = jnp.arange(sv.shape[0], dtype=jnp.float32)
+    ranks = jnp.arange(Cs, dtype=jnp.float32)
+
+    use_hierarchy = Cs > max_per_coarse and T > coarse_factor**2
+    if use_hierarchy:
+        cf = coarse_factor
+        ncx = -(-ntx // cf)
+        ncy = -(-nty // cf)
+        Tc = ncx * ncy
+        Kc = max_per_coarse
+        ctx = jnp.arange(Tc, dtype=jnp.int32) % ncx
+        cty = jnp.arange(Tc, dtype=jnp.int32) // ncx
+        # coarse tile c spans fine tiles [c*cf, c*cf+cf)
+        inter_c = (
+            (x0[None, :] <= (ctx[:, None] + 1) * cf - 1)
+            & (x1[None, :] >= ctx[:, None] * cf)
+            & (y0[None, :] <= (cty[:, None] + 1) * cf - 1)
+            & (y1[None, :] >= cty[:, None] * cf)
+            & sv[None, :]
+        )
+        score_c = jnp.where(inter_c, -ranks[None, :], -INF)
+        _, sel_c = jax.lax.top_k(score_c, Kc)  # (Tc, Kc), depth-ascending
+        cand_valid = jnp.take_along_axis(inter_c, sel_c, axis=1)
+        # candidate attributes per coarse tile
+        cx0 = jnp.where(cand_valid, x0[sel_c], ntx + 1)
+        cx1 = jnp.where(cand_valid, x1[sel_c], -1)
+        cy0 = jnp.where(cand_valid, y0[sel_c], nty + 1)
+        cy1 = jnp.where(cand_valid, y1[sel_c], -1)
+        src, src_valid, Ksrc = (sel_c, cand_valid, Kc)
+    else:
+        src = None
+
     n_chunks = -(-T // tile_chunk)
     T_pad = n_chunks * tile_chunk
     tids = jnp.arange(T_pad, dtype=jnp.int32)
@@ -220,15 +275,37 @@ def bin_gaussians(
 
     def chunk_fn(args):
         tx, ty = args  # (tile_chunk,)
-        inter = (
-            (x0[None, :] <= tx[:, None])
-            & (x1[None, :] >= tx[:, None])
-            & (y0[None, :] <= ty[:, None])
-            & (y1[None, :] >= ty[:, None])
-            & sv[None, :]
-        )
-        score = jnp.where(inter, -ranks[None, :], -INF)
-        _, sel = jax.lax.top_k(score, K)  # (tile_chunk, K), depth-ascending
+        if use_hierarchy:
+            parent = (ty // coarse_factor) * ncx + (tx // coarse_factor)
+            px0 = cx0[parent]  # (tile_chunk, Kc)
+            px1 = cx1[parent]
+            py0 = cy0[parent]
+            py1 = cy1[parent]
+            inter = (
+                (px0 <= tx[:, None])
+                & (px1 >= tx[:, None])
+                & (py0 <= ty[:, None])
+                & (py1 >= ty[:, None])
+            )
+            # candidates are already depth-sorted within the coarse list
+            local_ranks = jax.lax.broadcasted_iota(
+                jnp.float32, (tx.shape[0], Ksrc), 1
+            )
+            score = jnp.where(inter, -local_ranks, -INF)
+            _, sel_f = jax.lax.top_k(score, min(K, Ksrc))
+            sel = jnp.take_along_axis(src[parent], sel_f, axis=1)
+            if K > Ksrc:  # pad (degenerate config)
+                sel = jnp.pad(sel, ((0, 0), (0, K - Ksrc)))
+        else:
+            inter = (
+                (x0[None, :] <= tx[:, None])
+                & (x1[None, :] >= tx[:, None])
+                & (y0[None, :] <= ty[:, None])
+                & (y1[None, :] >= ty[:, None])
+                & sv[None, :]
+            )
+            score = jnp.where(inter, -ranks[None, :], -INF)
+            _, sel = jax.lax.top_k(score, K)  # depth-ascending
         counts = jnp.minimum(inter.sum(axis=1), K)
         return sel, counts
 
@@ -394,6 +471,8 @@ def rasterize(
         tile_size=cfg.tile_size,
         max_per_tile=cfg.max_per_tile,
         tile_chunk=cfg.tile_chunk,
+        coarse_factor=cfg.coarse_factor,
+        max_per_coarse=cfg.max_per_coarse,
     )
 
     bg = (

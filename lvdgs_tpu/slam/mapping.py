@@ -398,6 +398,59 @@ def mapping_run(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "rcfg", "opt", "mcfg"),
+    donate_argnames=("gmap", "opt_state"),
+)
+def color_refine_run(
+    gmap: gm.GaussianMap,
+    opt_state: gm.AdamState,
+    kfbuf: KeyframeBuffer,
+    rng: jax.Array,
+    n_iters: jax.Array,
+    *,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    opt: gm.MapOptimizer,
+    mcfg: MappingConfig,
+):
+    """Post-SLAM color refinement (reference utils/slam_backend.py:393-468):
+    each iteration picks a random keyframe, renders it, and optimises the
+    static-masked L1 + DSSIM photometric loss. One jit call runs the whole
+    26k-iteration polish on device."""
+    bg = jnp.full((3,), 1.0 if rcfg.white_background else 0.0, jnp.float32)
+    M = kfbuf.capacity
+
+    def loss_fn(p, active, slot):
+        cam = camera_from_slot(kfbuf, slot)
+        out = rasterize(p, active, kfbuf.R[slot], kfbuf.T[slot], intr, rcfg)
+
+        def masked(_):
+            static = cam.static_mask[None]
+            mi = jnp.where(static, out.image, bg[:, None, None])
+            mg = jnp.where(static, cam.image, bg[:, None, None])
+            return mi, mg
+
+        def plain(_):
+            return out.image, cam.image
+
+        mi, mg = jax.lax.cond(cam.has_static_mask, masked, plain, None)
+        ll1 = l1_loss(mi, mg)
+        return (1.0 - mcfg.lambda_dssim) * ll1 + mcfg.lambda_dssim * (1.0 - ssim(mi, mg))
+
+    def body(i, carry):
+        gmap, opt_state, rng = carry
+        rng, k = jax.random.split(rng)
+        slot = jax.random.randint(k, (), 0, jnp.maximum(kfbuf.count, 1))
+        loss, g = jax.value_and_grad(loss_fn)(gmap.params(), gmap.active, slot)
+        gmap, opt_state = opt.step(gmap, g, opt_state, i + 1)
+        return (gmap, opt_state, rng)
+
+    gmap, opt_state, _ = jax.lax.fori_loop(0, n_iters, body, (gmap, opt_state, rng))
+    return gmap, opt_state
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "rcfg", "prune_num", "window_size"))
 def covisibility_prune(
     gmap: gm.GaussianMap,

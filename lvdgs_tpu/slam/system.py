@@ -1,0 +1,603 @@
+"""Single-process SLAM orchestrator.
+
+Replaces the reference's two torch.multiprocessing processes + mp.Queue
+protocol (slam.py [missing in snapshot] + FrontEnd utils/slam_frontend.py:1740
++ BackEnd utils/slam_backend.py:485) with one host scheduler driving jitted
+device programs. The queue messages become function boundaries with the same
+semantics:
+
+  request_init      -> _backend_init        (seed + 1050-iter init mapping)
+  request_keyframe  -> _backend_keyframe    (seed + windowed mapping + prune)
+  sync_backend      -> pose write-back from the device keyframe buffer
+  color_refinement  -> color_refine_run     (26k-iter polish, one dispatch)
+
+Host-side responsibilities: dataset IO, keyframe policy, window management,
+per-frame bookkeeping, eval. Device-side: everything numeric.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, Intrinsics
+from ..core.config import DotDict
+from ..core.log import Log, PhaseTimer
+from ..core.losses import compute_grad_mask
+from ..data.datasets import load_dataset
+from ..eval.ate import eval_ate
+from ..eval.rendering import eval_rendering
+from ..gaussian import model as gm
+from ..io.ply import save_gaussians_ply
+from ..ops.rasterizer import RenderConfig, rasterize
+from . import state as slam_state
+from .depth_alignment import process_depth
+from .keyframe import add_to_window, is_keyframe, keyframe_rotation_delta_deg
+from .mapping import MappingConfig, color_refine_run, covisibility_prune, mapping_run
+from .tracking import TrackingConfig, track_camera
+
+
+def _dilate_mask(mask: jax.Array, kernel: int) -> jax.Array:
+    """Binary dilation via max-pooling (replaces cv2.dilate at reference
+    utils/slam_frontend.py:1260-1266)."""
+    pad = kernel // 2
+    return (
+        jax.lax.reduce_window(
+            mask.astype(jnp.float32),
+            -jnp.inf,
+            jax.lax.max,
+            (kernel, kernel),
+            (1, 1),
+            [(pad, pad), (pad, pad)],
+        )
+        > 0.5
+    )
+
+
+class SLAM:
+    """End-to-end monocular Gaussian-splatting SLAM (dynamic-scene capable)."""
+
+    def __init__(self, config: dict, save_dir: Optional[str] = None, masker=None,
+                 pose_prior=None, depth_prior=None):
+        self.config = config
+        self.save_dir = save_dir or config.get("Results", {}).get("save_dir", "results")
+        tr = config["Training"]
+        ds_cfg = config["Dataset"]
+        opt_params = DotDict(config.get("opt_params", {}))
+
+        self.dataset = load_dataset(None, ds_cfg.get("dataset_path", ""), config)
+        self.intr: Intrinsics = self.dataset.intrinsics
+
+        perf = config.get("Performance", {})
+        self.rcfg = RenderConfig(
+            tile_size=perf.get("tile_size", 16),
+            max_per_tile=perf.get("max_per_tile", 512),
+            gaussian_chunk=perf.get("gaussian_chunk", 32),
+            tile_chunk=perf.get("tile_chunk", 128),
+            white_background=config.get("model_params", {}).get("white_background", False),
+        )
+        capacity = perf.get("map_capacity", 2**17)
+        kf_capacity = perf.get("kf_capacity", 512)
+
+        self.monocular = tr.get("monocular", True)
+        self.cameras_extent = float(config.get("model_params", {}).get("cameras_extent", 6.0))
+
+        self.gmap = gm.create_map(capacity)
+        self.opt = gm.MapOptimizer(
+            feature_lr=opt_params.get("feature_lr", 0.0025),
+            opacity_lr=opt_params.get("opacity_lr", 0.05),
+            scaling_lr=opt_params.get("scaling_lr", 0.001),
+            rotation_lr=opt_params.get("rotation_lr", 0.001),
+            position_lr_init=opt_params.get("position_lr_init", 0.0016),
+            position_lr_final=opt_params.get("position_lr_final", 0.00016),
+            position_lr_max_steps=opt_params.get("position_lr_max_steps", 30000),
+            spatial_scale=self.cameras_extent,
+        )
+        self.opt_state = self.opt.init(self.gmap)
+        self.kfbuf = slam_state.create_keyframe_buffer(
+            kf_capacity, self.intr.height, self.intr.width
+        )
+
+        self.tcfg = TrackingConfig(
+            max_iters=tr.get("tracking_itr_num", 100),
+            lr_rot=tr["lr"]["cam_rot_delta"],
+            lr_trans=tr["lr"]["cam_trans_delta"],
+            rgb_boundary_threshold=tr.get("rgb_boundary_threshold", 0.01),
+        )
+
+        common = dict(
+            window_size=tr.get("window_size", 8),
+            pose_window=tr.get("pose_window", 3),
+            lambda_dssim=opt_params.get("lambda_dssim", 0.2),
+            depth_lambda=tr.get("depth_lambda", 0.1),
+            alpha=tr.get("alpha", 0.95),
+            rgb_boundary_threshold=tr.get("rgb_boundary_threshold", 0.01),
+            lr_rot=tr["lr"]["cam_rot_delta"] * 0.5,
+            lr_trans=tr["lr"]["cam_trans_delta"] * 0.5,
+            densify_grad_threshold=opt_params.get("densify_grad_threshold", 0.0002),
+            percent_dense=opt_params.get("percent_dense", 0.01),
+            gaussian_update_every=tr.get("gaussian_update_every", 150),
+            gaussian_update_offset=tr.get("gaussian_update_offset", 50),
+            gaussian_th=tr.get("gaussian_th", 0.7),
+            gaussian_extent=self.cameras_extent * tr.get("gaussian_extent", 1.0),
+            gaussian_reset=tr.get("gaussian_reset", 2001),
+            size_threshold=tr.get("size_threshold", 20),
+            monocular=self.monocular,
+        )
+        self.mcfg = MappingConfig(**common)
+        self.mcfg_ba = MappingConfig(
+            **{**common, "pose_window": tr.get("window_size", 8) - 1}
+        )
+        self.mcfg_init = MappingConfig(
+            window_size=1,
+            n_random=0,
+            initialization=True,
+            init_gaussian_update=tr.get("init_gaussian_update", 100),
+            init_gaussian_reset=tr.get("init_gaussian_reset", 500),
+            init_gaussian_th=tr.get("init_gaussian_th", 0.005),
+            init_gaussian_extent=self.cameras_extent * tr.get("init_gaussian_extent", 30),
+            densify_from_iter=opt_params.get("densify_from_iter", 500),
+            densify_grad_threshold=opt_params.get("densify_grad_threshold", 0.0002),
+            alpha=tr.get("alpha", 0.95),
+            rgb_boundary_threshold=tr.get("rgb_boundary_threshold", 0.01),
+            monocular=self.monocular,
+        )
+
+        # policy hyper-params
+        self.kf_interval = tr.get("kf_interval", 5)
+        self.window_size = tr.get("window_size", 8)
+        self.single_thread = tr.get("single_thread", True)
+        self.kf_translation = tr.get("kf_translation", 0.08)
+        self.kf_min_translation = tr.get("kf_min_translation", 0.05)
+        self.kf_overlap = tr.get("kf_overlap", 0.9)
+        self.kf_cutoff = tr.get("kf_cutoff", 0.3)
+        self.prune_num = tr.get("prune_num", 1)
+        self.init_itr_num = tr.get("init_itr_num", 1050)
+        self.mapping_itr_num = tr.get("mapping_itr_num", 150)
+        self.mapping_itr_nosingle = tr.get("mapping_itr_nosingle", 10)
+        self.pcd_downsample = ds_cfg.get("pcd_downsample", 64)
+        self.pcd_downsample_init = ds_cfg.get("pcd_downsample_init", 32)
+        self.point_size = ds_cfg.get("point_size", 0.01)
+        self.adaptive_pointsize = ds_cfg.get("adaptive_pointsize", True)
+        self.depth_cfg = config.get("depth", {})
+        self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
+        self.mono_depth_source = ds_cfg.get("mono_depth_source", "dataset")
+
+        res = config.get("Results", {})
+        self.save_results = res.get("save_results", True)
+        self.save_trj = res.get("save_trj", True)
+        self.save_trj_kf_intv = res.get("save_trj_kf_intv", 10)
+        self.do_color_refinement = res.get("color_refinement", True)
+        self.color_refinement_iters = res.get("color_refinement_iters", 26000)
+        self.do_eval_rendering = res.get("eval_rendering", True)
+
+        # dynamic masking / pose-prior / depth-prior plug points
+        self.masker = masker
+        self.pose_prior = pose_prior  # callable(cam, last_kf_cam, slam) -> (R, T) seed
+        self.depth_prior = depth_prior  # callable(image) -> mono depth (H, W)
+
+        # mutable state
+        self.frames: Dict[int, dict] = {}
+        self.kf_indices: List[int] = []
+        self.kf_slots: Dict[int, int] = {}
+        self.current_window: List[int] = []
+        self.occ_visibility: Dict[int, jax.Array] = {}
+        self.initialized = not self.monocular
+        self.iteration_count = jnp.zeros((), jnp.int32)
+        self.median_depth = 1.0
+        self.rng = jax.random.PRNGKey(config.get("seed", 0))
+        self.timer = PhaseTimer()
+        self.frames_processed = 0
+        self._cams: Dict[int, Camera] = {}
+
+    # ------------------------------------------------------------------ utils
+
+    def _record_frame(self, idx: int, cam: Camera) -> None:
+        self.frames[idx] = {
+            "R": np.asarray(cam.R),
+            "T": np.asarray(cam.T),
+            "R_gt": np.asarray(cam.R_gt),
+            "T_gt": np.asarray(cam.T_gt),
+            "exposure_a": float(cam.exposure_a),
+            "exposure_b": float(cam.exposure_b),
+            "static_mask": np.asarray(cam.static_mask)
+            if bool(cam.has_static_mask)
+            else None,
+        }
+
+    def _mono_depth_for(self, idx: int, image, dataset_depth, dataset_mono):
+        """The reference gets mono depth from MASt3R every frame
+        (utils/slam_frontend.py:1455); source is pluggable here."""
+        if self.depth_prior is not None:
+            return jnp.asarray(self.depth_prior(image), jnp.float32)
+        if self.mono_depth_source == "gt" and dataset_depth is not None:
+            return jnp.asarray(dataset_depth, jnp.float32)
+        if dataset_mono is not None:
+            return jnp.asarray(dataset_mono, jnp.float32)
+        return jnp.zeros((self.intr.height, self.intr.width), jnp.float32)
+
+    def _build_camera(self, idx: int) -> Camera:
+        image, depth, pose, mono = self.dataset[idx]
+        gt_R = jnp.asarray(pose[:3, :3], jnp.float32)
+        gt_T = jnp.asarray(pose[:3, 3], jnp.float32)
+        cam = Camera.create(
+            idx,
+            jnp.asarray(image),
+            self.intr,
+            gt_R=gt_R,
+            gt_T=gt_T,
+            depth=None if depth is None else jnp.asarray(depth, jnp.float32),
+        )
+        cam = cam.replace(
+            mono_depth=self._mono_depth_for(idx, image, depth, mono),
+            grad_mask=compute_grad_mask(
+                cam.image,
+                self.config["Training"].get("edge_threshold", 1.1),
+                self.config["Dataset"].get("type", "KITTI"),
+            ),
+        )
+        if self.masker is not None:
+            static = self.masker.get_static_mask(np.asarray(cam.image), frame_idx=idx)
+            cam = cam.replace(
+                static_mask=jnp.asarray(static, bool),
+                has_static_mask=jnp.asarray(True),
+            )
+        return cam
+
+    def _pose_seed(self, idx: int, cam: Camera) -> Camera:
+        if self.pose_prior is not None:
+            last_kf_idx = self.current_window[0]
+            last_cam = self._cams.get(last_kf_idx)
+            seed = self.pose_prior(cam, last_cam, self)
+            if seed is not None:
+                R, T = seed
+                return cam.update_RT(jnp.asarray(R, jnp.float32), jnp.asarray(T, jnp.float32))
+        mode = self.pose_seed_mode
+        if mode == "gt":
+            return cam.update_RT(cam.R_gt, cam.T_gt)
+        prev = self.frames.get(idx - 1)
+        if prev is None:
+            return cam
+        if mode == "constant_velocity" and (idx - 2) in self.frames:
+            p1 = self.frames[idx - 1]
+            p2 = self.frames[idx - 2]
+            T1 = np.eye(4)
+            T1[:3, :3], T1[:3, 3] = p1["R"], p1["T"]
+            T2 = np.eye(4)
+            T2[:3, :3], T2[:3, 3] = p2["R"], p2["T"]
+            seed = T1 @ np.linalg.inv(T2) @ T1
+            return cam.update_RT(
+                jnp.asarray(seed[:3, :3], jnp.float32), jnp.asarray(seed[:3, 3], jnp.float32)
+            )
+        return cam.update_RT(
+            jnp.asarray(prev["R"], jnp.float32), jnp.asarray(prev["T"], jnp.float32)
+        )
+
+    # ----------------------------------------------------------- keyframe add
+
+    def _fused_keyframe_depth(self, idx: int, cam: Camera, render_depth, render_opacity,
+                              init: bool):
+        """Reference add_new_keyframe (utils/slam_frontend.py:1268-1414):
+        valid-RGB + expanded-static masking, mono-depth fallback for init,
+        patch-based scale alignment against the rendered depth otherwise.
+        Returns (depth_for_seeding, cam possibly with rescaled mono_depth)."""
+        rgb_thr = self.config["Training"].get("rgb_boundary_threshold", 0.01)
+        valid_rgb = cam.image.sum(axis=0) > rgb_thr
+
+        if bool(cam.has_static_mask):
+            kernel = 9 if idx == 0 else 7
+            expanded_dynamic = _dilate_mask(~cam.static_mask, kernel)
+            valid_rgb = valid_rgb & ~expanded_dynamic
+
+        if init or render_depth is None:
+            depth = jnp.where(valid_rgb, cam.mono_depth, 0.0)
+            return depth, cam
+
+        dc = self.depth_cfg
+        fused, scale, _err, _nacc = process_depth(
+            render_depth,
+            cam.mono_depth,
+            patch_size=dc.get("patch_size", 10),
+            mean_threshold=dc.get("mean_threshold", 0.25),
+            std_threshold=dc.get("std_threshold", 0.3),
+            error_threshold=dc.get("error_threshold", 0.1),
+            final_error_threshold=dc.get("final_error_threshold", 0.15),
+            min_accurate_pixels_ratio=dc.get("min_accurate_pixels_ratio", 0.01),
+            remedy_fn=None,
+        )
+        cam = cam.replace(mono_depth=cam.mono_depth * scale)
+        depth = jnp.where(valid_rgb, fused, 0.0)
+        return depth, cam
+
+    def _backend_init(self, idx: int, cam: Camera, depth) -> None:
+        """Reference 'init' message handler (utils/slam_backend.py:514-528)."""
+        self.gmap, self.opt_state = gm.seed_from_depth(
+            self.gmap,
+            cam,
+            depth,
+            self.intr,
+            kf_id=idx,
+            downsample=self.pcd_downsample_init,
+            point_size=self.point_size,
+            adaptive_pointsize=self.adaptive_pointsize,
+            opt_state=self.opt_state,
+        )
+        self.rng, key = jax.random.split(self.rng)
+        res = mapping_run(
+            self.gmap,
+            self.opt_state,
+            self.kfbuf,
+            jnp.asarray([self.kf_slots[idx]], jnp.int32),
+            key,
+            self.iteration_count,
+            jnp.asarray(self.init_itr_num, jnp.int32),
+            intr=self.intr,
+            rcfg=self.rcfg,
+            opt=self.opt,
+            mcfg=self.mcfg_init,
+        )
+        self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
+        self.iteration_count = res.iteration_count
+        self.occ_visibility[idx] = res.occ_visibility[0]
+        Log(f"Initialized map ({int(self.gmap.num_active)} gaussians)")
+
+    def _backend_keyframe(self, idx: int, depth) -> None:
+        """Reference 'keyframe' message handler (utils/slam_backend.py:530-602)."""
+        cam = self._cams[idx]
+        self.gmap, self.opt_state = gm.seed_from_depth(
+            self.gmap,
+            cam,
+            depth,
+            self.intr,
+            kf_id=idx,
+            downsample=self.pcd_downsample,
+            point_size=self.point_size,
+            adaptive_pointsize=self.adaptive_pointsize,
+            opt_state=self.opt_state,
+        )
+        mcfg = self.mcfg
+        if not self.initialized:
+            if len(self.current_window) == self.window_size:
+                iter_per_kf = 300  # initial BA (reference :557)
+                mcfg = self.mcfg_ba
+                Log("Performing initial BA for initialization")
+            else:
+                iter_per_kf = self.mapping_itr_num
+        else:
+            iter_per_kf = (
+                self.mapping_itr_num if self.single_thread else self.mapping_itr_nosingle
+            )
+
+        window_slots = self._window_slots()
+        self.rng, key = jax.random.split(self.rng)
+        res = mapping_run(
+            self.gmap,
+            self.opt_state,
+            self.kfbuf,
+            window_slots,
+            key,
+            self.iteration_count,
+            jnp.asarray(iter_per_kf, jnp.int32),
+            intr=self.intr,
+            rcfg=self.rcfg,
+            opt=self.opt,
+            mcfg=mcfg,
+        )
+        self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
+        self.iteration_count = res.iteration_count
+
+        # map(prune=True) pass
+        self.gmap, occ, initialized = covisibility_prune(
+            self.gmap,
+            self.kfbuf,
+            window_slots,
+            jnp.asarray(self.initialized),
+            intr=self.intr,
+            rcfg=self.rcfg,
+            prune_num=self.prune_num,
+            window_size=self.window_size,
+        )
+        self.initialized = bool(initialized)
+        for i, kf_idx in enumerate(self.current_window):
+            self.occ_visibility[kf_idx] = occ[i]
+        self._sync_backend()
+
+    def _window_slots(self) -> jax.Array:
+        slots = [self.kf_slots[k] for k in self.current_window]
+        slots += [-1] * (self.window_size - len(slots))
+        return jnp.asarray(slots, jnp.int32)
+
+    def _sync_backend(self) -> None:
+        """Adopt refined keyframe poses/exposures (reference sync_backend,
+        utils/slam_frontend.py:1690-1697)."""
+        R = np.asarray(self.kfbuf.R)
+        T = np.asarray(self.kfbuf.T)
+        ab = np.asarray(self.kfbuf.exposure_ab)
+        for kf_idx in self.current_window:
+            slot = self.kf_slots[kf_idx]
+            self.frames[kf_idx]["R"] = R[slot]
+            self.frames[kf_idx]["T"] = T[slot]
+            self.frames[kf_idx]["exposure_a"] = float(ab[slot, 0])
+            self.frames[kf_idx]["exposure_b"] = float(ab[slot, 1])
+            if kf_idx in self._cams:
+                self._cams[kf_idx] = self._cams[kf_idx].update_RT(
+                    jnp.asarray(R[slot]), jnp.asarray(T[slot])
+                )
+
+    # ------------------------------------------------------------- main steps
+
+    def _initialize(self, idx: int, cam: Camera) -> None:
+        cam = cam.update_RT(cam.R_gt, cam.T_gt)
+        self._cams[idx] = cam
+        self._record_frame(idx, cam)
+        depth, cam = self._fused_keyframe_depth(idx, cam, None, None, init=True)
+        self._cams[idx] = cam
+        self.kf_indices.append(idx)
+        self.kfbuf, slot = slam_state.add_keyframe(self.kfbuf, cam)
+        self.kf_slots[idx] = int(slot)
+        self.current_window = [idx]
+        self._backend_init(idx, cam, depth)
+
+    def _track(self, idx: int, cam: Camera):
+        cam = self._pose_seed(idx, cam)
+        res = track_camera(
+            self.gmap.params(), self.gmap.active, cam, self.intr, self.rcfg, self.tcfg
+        )
+        cam = cam.update_RT(res.R, res.T).replace(
+            exposure_a=res.exposure_a, exposure_b=res.exposure_b
+        )
+        self._cams[idx] = cam
+        self._record_frame(idx, cam)
+        self.median_depth = float(res.median_depth)
+        return cam, res
+
+    def _make_keyframe(self, idx: int, cam: Camera, track_res) -> None:
+        curr_vis = track_res.n_touched > 0
+        self.current_window, removed = add_to_window(
+            cur_frame_idx=idx,
+            curr_visibility=curr_vis,
+            occ_visibility=self.occ_visibility,
+            window=self.current_window,
+            poses={k: (self.frames[k]["R"], self.frames[k]["T"]) for k in
+                   [idx] + self.current_window},
+            window_size=self.window_size,
+            kf_cutoff=self.kf_cutoff,
+            initialized=self.initialized,
+        )
+        if removed is not None:
+            self.occ_visibility.pop(removed, None)
+
+        depth, cam = self._fused_keyframe_depth(
+            idx, cam, track_res.depth[0], track_res.opacity[0], init=False
+        )
+        self._cams[idx] = cam
+        self.kf_indices.append(idx)
+        self.kfbuf, slot = slam_state.add_keyframe(self.kfbuf, cam)
+        self.kf_slots[idx] = int(slot)
+        self._backend_keyframe(idx, depth)
+
+    def process_frame(self, idx: int) -> None:
+        cam = self._build_camera(idx)
+        if idx == 0 or not self.current_window:
+            self._initialize(idx, cam)
+            self.frames_processed += 1
+            return
+
+        self.initialized = self.initialized or (
+            len(self.current_window) == self.window_size
+        )
+
+        self.timer.tic("tracking")
+        cam, res = self._track(idx, cam)
+        self.timer.toc("tracking")
+
+        last_kf_idx = self.current_window[0]
+        check_time = (idx - last_kf_idx) >= self.kf_interval
+        curr_vis = res.n_touched > 0
+
+        static_ratio = (
+            float(cam.static_mask.mean()) if bool(cam.has_static_mask) else None
+        )
+        create_kf = is_keyframe(
+            curr_R=self.frames[idx]["R"],
+            curr_T=self.frames[idx]["T"],
+            last_kf_R=self.frames[last_kf_idx]["R"],
+            last_kf_T=self.frames[last_kf_idx]["T"],
+            median_depth=self.median_depth,
+            curr_visibility=curr_vis,
+            last_kf_visibility=self.occ_visibility[last_kf_idx],
+            kf_translation=self.kf_translation,
+            kf_min_translation=self.kf_min_translation,
+            kf_overlap=self.kf_overlap,
+            static_ratio=static_ratio,
+        )
+        if len(self.current_window) < self.window_size:
+            union = int(jnp.count_nonzero(curr_vis | self.occ_visibility[last_kf_idx]))
+            inter = int(jnp.count_nonzero(curr_vis & self.occ_visibility[last_kf_idx]))
+            create_kf = check_time and (inter / max(union, 1)) < self.kf_overlap
+        if self.single_thread:
+            create_kf = check_time and create_kf
+
+        if create_kf:
+            self.timer.tic("mapping")
+            self._make_keyframe(idx, cam, res)
+            self.timer.toc("mapping")
+        self.frames_processed += 1
+
+        if (
+            self.save_results
+            and self.save_trj
+            and create_kf
+            and len(self.kf_indices) % self.save_trj_kf_intv == 0
+        ):
+            eval_ate(
+                self.frames,
+                self.kf_indices,
+                self.save_dir,
+                idx,
+                monocular=self.monocular,
+            )
+
+    def color_refinement(self, iters: Optional[int] = None) -> None:
+        iters = iters or self.color_refinement_iters
+        Log(f"Starting color refinement ({iters} iters)")
+        self.rng, key = jax.random.split(self.rng)
+        self.gmap, self.opt_state = color_refine_run(
+            self.gmap,
+            self.opt_state,
+            self.kfbuf,
+            key,
+            jnp.asarray(iters, jnp.int32),
+            intr=self.intr,
+            rcfg=self.rcfg,
+            opt=self.opt,
+            mcfg=self.mcfg,
+        )
+        Log("Map refinement done")
+
+    def run(self, n_frames: Optional[int] = None, progress: bool = True) -> dict:
+        n = len(self.dataset) if n_frames is None else min(n_frames, len(self.dataset))
+        t0 = time.perf_counter()
+        for idx in range(n):
+            self.process_frame(idx)
+            if progress and idx % 25 == 0:
+                Log(
+                    f"frame {idx}/{n} kfs={len(self.kf_indices)} "
+                    f"gaussians={int(self.gmap.num_active)}"
+                )
+        wall = time.perf_counter() - t0
+        fps = n / wall
+
+        results = {"fps": fps, "n_frames": n, "n_keyframes": len(self.kf_indices)}
+        if self.do_color_refinement:
+            self.color_refinement()
+        if self.save_results:
+            results["ate_rmse"] = eval_ate(
+                self.frames,
+                self.kf_indices,
+                self.save_dir,
+                n,
+                final=True,
+                monocular=self.monocular,
+            )
+            ply_path = os.path.join(self.save_dir, "point_cloud", "final", "point_cloud.ply")
+            save_gaussians_ply(self.gmap, ply_path)
+        if self.do_eval_rendering:
+            results.update(
+                eval_rendering(
+                    self.gmap,
+                    self.frames,
+                    self.dataset,
+                    self.intr,
+                    self.rcfg,
+                    save_dir=self.save_dir if self.save_results else None,
+                    kf_indices=self.kf_indices,
+                )
+            )
+        results["timers"] = self.timer.summary()
+        Log(f"SLAM done: {fps:.2f} fps, {len(self.kf_indices)} keyframes", tag="Eval")
+        return results

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Entry point: python slam.py --config configs/mono/KITTI/07.yaml
+
+Parity with the reference run command (README.md:97-103). Reconstructs the
+missing reference slam.py wiring (SURVEY.md §2.9): load layered YAML config,
+build dataset + Gaussian map + SLAM system, run, then color refinement and
+final evaluation — but as a single process driving jitted TPU programs
+instead of two torch.multiprocessing processes.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="LVD-GS-TPU SLAM")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--n-frames", type=int, default=None,
+                        help="limit the number of processed frames")
+    parser.add_argument("--save-dir", type=str, default=None)
+    parser.add_argument("--no-color-refinement", action="store_true")
+    parser.add_argument("--no-eval-rendering", action="store_true")
+    args = parser.parse_args()
+
+    from lvdgs_tpu.core.config import load_config
+    from lvdgs_tpu.core.log import Log
+    from lvdgs_tpu.slam.system import SLAM
+    from lvdgs_tpu.perception import build_masker
+
+    config = load_config(args.config)
+    save_dir = args.save_dir
+    if save_dir is None:
+        stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+        save_dir = os.path.join(
+            config.get("Results", {}).get("save_dir", "results"), stamp
+        )
+    os.makedirs(save_dir, exist_ok=True)
+
+    masker = build_masker(config)
+    slam = SLAM(config, save_dir=save_dir, masker=masker)
+    if args.no_color_refinement:
+        slam.do_color_refinement = False
+    if args.no_eval_rendering:
+        slam.do_eval_rendering = False
+
+    results = slam.run(n_frames=args.n_frames)
+    Log(f"Results: {results}", tag="Eval")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -15,4 +15,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# the axon sitecustomize registers the TPU platform in every interpreter and
+# overrides JAX_PLATFORMS from the environment; force CPU explicitly so CI
+# needs no TPU and gets the 8 virtual devices above
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

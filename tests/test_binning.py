@@ -1,0 +1,57 @@
+"""Hierarchical binning must match exact single-level binning when no
+truncation occurs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvdgs_tpu.core.camera import Intrinsics
+from lvdgs_tpu.ops.rasterizer import RenderConfig, bin_gaussians, project_gaussians, rasterize
+
+INTR = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240)
+
+
+def _scene(n=6000, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.concatenate(
+        [rng.normal(size=(n, 2)) * 2.0, rng.uniform(2.0, 10.0, size=(n, 1))], axis=1
+    )
+    params = {
+        "means": jnp.asarray(means, jnp.float32),
+        "features_dc": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        "log_scales": jnp.asarray(rng.uniform(-3.0, -1.8, size=(n, 3)), jnp.float32),
+        "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        "logit_opacities": jnp.asarray(rng.uniform(0.0, 2.0, size=(n,)), jnp.float32),
+    }
+    return params, jnp.ones((n,), bool)
+
+
+def test_hierarchical_matches_exact():
+    params, active = _scene()
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active,
+        jnp.eye(3), jnp.zeros(3), INTR,
+    )
+    ntx, nty = 20, 15
+    kw = dict(ntx=ntx, nty=nty, tile_size=16, max_per_tile=256, tile_chunk=64)
+    exact_idx, exact_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"],
+        max_per_coarse=10**9, **kw,  # force single-level
+    )
+    hier_idx, hier_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"],
+        coarse_factor=4, max_per_coarse=2048, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(exact_valid), np.asarray(hier_valid))
+    np.testing.assert_array_equal(np.asarray(exact_idx), np.asarray(hier_idx))
+
+
+def test_hierarchical_render_matches():
+    params, active = _scene(4000, seed=1)
+    cfg_exact = RenderConfig(tile_size=16, max_per_tile=256, gaussian_chunk=32,
+                             tile_chunk=64, max_per_coarse=10**9)
+    cfg_hier = RenderConfig(tile_size=16, max_per_tile=256, gaussian_chunk=32,
+                            tile_chunk=64, coarse_factor=4, max_per_coarse=1024)
+    a = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, cfg_exact)
+    b = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, cfg_hier)
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.n_touched), np.asarray(b.n_touched))

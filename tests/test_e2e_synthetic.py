@@ -1,0 +1,59 @@
+"""End-to-end SLAM on the synthetic dataset: track a known trajectory,
+map it, and verify ATE + reconstruction quality (SURVEY.md §4 strategy)."""
+import os
+
+import numpy as np
+import pytest
+
+from lvdgs_tpu.core.config import load_config
+from lvdgs_tpu.slam.system import SLAM
+
+CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "mono", "synthetic", "base_config.yaml")
+
+
+@pytest.fixture(scope="module")
+def slam_results(tmp_path_factory):
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 14
+    config["Training"]["init_itr_num"] = 400
+    config["Training"]["mapping_itr_num"] = 40
+    config["Training"]["tracking_itr_num"] = 40
+    config["Results"]["color_refinement_iters"] = 200
+    save_dir = str(tmp_path_factory.mktemp("slam_out"))
+    slam = SLAM(config, save_dir=save_dir)
+    results = slam.run(progress=False)
+    return slam, results, save_dir
+
+
+def test_e2e_runs_and_tracks(slam_results):
+    slam, results, _ = slam_results
+    assert results["n_frames"] == 14
+    assert results["n_keyframes"] >= 2
+    # trajectory error must be small on this easy synthetic scene
+    assert results["ate_rmse"] < 0.08, results
+
+
+def test_e2e_rendering_quality(slam_results):
+    slam, results, _ = slam_results
+    assert results["mean_psnr"] > 17.0, results
+
+
+def test_e2e_artifacts_written(slam_results):
+    _, _, save_dir = slam_results
+    assert os.path.exists(os.path.join(save_dir, "point_cloud", "final", "point_cloud.ply"))
+    plots = os.listdir(os.path.join(save_dir, "plot"))
+    assert any(p.startswith("stats_final") for p in plots)
+
+
+def test_e2e_ply_roundtrip(slam_results):
+    slam, _, save_dir = slam_results
+    from lvdgs_tpu.io.ply import load_gaussians_ply
+
+    means, fdc, scales, quats, opac = load_gaussians_ply(
+        os.path.join(save_dir, "point_cloud", "final", "point_cloud.ply")
+    )
+    assert means.shape[0] == int(slam.gmap.num_active)
+    np.testing.assert_allclose(
+        means.sum(), float(np.asarray(slam.gmap.means)[np.asarray(slam.gmap.active)].sum()),
+        rtol=1e-4,
+    )
