@@ -55,15 +55,23 @@ class RenderConfig:
     """Static rasterizer configuration (hashable; jit static arg)."""
 
     tile_size: int = 16
-    max_per_tile: int = 512
+    max_per_tile: int = 256
     gaussian_chunk: int = 32  # K-chunk for the blending scan
     tile_chunk: int = 128  # tiles per binning map step
     white_background: bool = False
     # hierarchical binning: coarse tiles of (coarse_factor x coarse_factor)
     # fine tiles pre-select max_per_coarse front-most candidates so the
-    # per-fine-tile top_k runs over ~4k candidates instead of the full map
+    # per-fine-tile top_k runs over ~2k candidates instead of the full map
     coarse_factor: int = 8
-    max_per_coarse: int = 4096
+    max_per_coarse: int = 2048
+    # blending backend: Pallas TPU kernel (VMEM-resident, per-tile early
+    # exit) vs the pure-XLA scan. Pallas runs in interpreter mode on CPU.
+    use_pallas: bool = True
+    tile_group: int = 8
+    # approx_max_k (TPU PartialReduce) for the binning top-k selections —
+    # ~0.95 recall of the front-most candidates, large speedup over sort
+    use_approx_topk: bool = True
+    approx_recall: float = 0.95
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -184,6 +192,8 @@ def project_gaussians(
         "tile_chunk",
         "coarse_factor",
         "max_per_coarse",
+        "use_approx_topk",
+        "approx_recall",
     ),
 )
 def bin_gaussians(
@@ -199,6 +209,8 @@ def bin_gaussians(
     tile_chunk: int,
     coarse_factor: int = 8,
     max_per_coarse: int = 4096,
+    use_approx_topk: bool = False,
+    approx_recall: float = 0.95,
 ):
     """Per-tile front-most-K selection over the global depth sort.
 
@@ -214,6 +226,11 @@ def bin_gaussians(
     C = mean2d.shape[0]
     T = ntx * nty
     K = max_per_tile
+
+    def topk(score, k):
+        if use_approx_topk and score.shape[-1] > 4 * k:
+            return jax.lax.approx_max_k(score, k, recall_target=approx_recall)
+        return jax.lax.top_k(score, k)
 
     order = jnp.argsort(jnp.where(valid, depth, INF))
     sm = mean2d[order]
@@ -256,47 +273,42 @@ def bin_gaussians(
             & sv[None, :]
         )
         score_c = jnp.where(inter_c, -ranks[None, :], -INF)
-        _, sel_c = jax.lax.top_k(score_c, Kc)  # (Tc, Kc), depth-ascending
+        _, sel_c = topk(score_c, Kc)  # (Tc, Kc), depth-ascending
         cand_valid = jnp.take_along_axis(inter_c, sel_c, axis=1)
         # candidate attributes per coarse tile
         cx0 = jnp.where(cand_valid, x0[sel_c], ntx + 1)
         cx1 = jnp.where(cand_valid, x1[sel_c], -1)
         cy0 = jnp.where(cand_valid, y0[sel_c], nty + 1)
         cy1 = jnp.where(cand_valid, y1[sel_c], -1)
-        src, src_valid, Ksrc = (sel_c, cand_valid, Kc)
+
+        # fine stage in one unchunked shot — the (T, Kc) intermediates are
+        # ~30 MB each and XLA fuses the comparisons into the top_k input
+        tids = jnp.arange(T, dtype=jnp.int32)
+        tx = tids % ntx
+        ty = tids // ntx
+        parent = (ty // cf) * ncx + (tx // cf)
+        inter = (
+            (cx0[parent] <= tx[:, None])
+            & (cx1[parent] >= tx[:, None])
+            & (cy0[parent] <= ty[:, None])
+            & (cy1[parent] >= ty[:, None])
+        )
+        local_ranks = jax.lax.broadcasted_iota(jnp.float32, (T, Kc), 1)
+        score = jnp.where(inter, -local_ranks, -INF)
+        _, sel_f = topk(score, min(K, Kc))
+        sel = jnp.take_along_axis(sel_c[parent], sel_f, axis=1)
+        if K > Kc:  # degenerate config
+            sel = jnp.pad(sel, ((0, 0), (0, K - Kc)))
+        counts = jnp.minimum(inter.sum(axis=1), K)
     else:
-        src = None
+        n_chunks = -(-T // tile_chunk)
+        T_pad = n_chunks * tile_chunk
+        tids = jnp.arange(T_pad, dtype=jnp.int32)
+        txs = (tids % ntx).reshape(n_chunks, tile_chunk)
+        tys = jnp.minimum(tids // ntx, nty - 1).reshape(n_chunks, tile_chunk)
 
-    n_chunks = -(-T // tile_chunk)
-    T_pad = n_chunks * tile_chunk
-    tids = jnp.arange(T_pad, dtype=jnp.int32)
-    txs = (tids % ntx).reshape(n_chunks, tile_chunk)
-    tys = jnp.minimum(tids // ntx, nty - 1).reshape(n_chunks, tile_chunk)
-
-    def chunk_fn(args):
-        tx, ty = args  # (tile_chunk,)
-        if use_hierarchy:
-            parent = (ty // coarse_factor) * ncx + (tx // coarse_factor)
-            px0 = cx0[parent]  # (tile_chunk, Kc)
-            px1 = cx1[parent]
-            py0 = cy0[parent]
-            py1 = cy1[parent]
-            inter = (
-                (px0 <= tx[:, None])
-                & (px1 >= tx[:, None])
-                & (py0 <= ty[:, None])
-                & (py1 >= ty[:, None])
-            )
-            # candidates are already depth-sorted within the coarse list
-            local_ranks = jax.lax.broadcasted_iota(
-                jnp.float32, (tx.shape[0], Ksrc), 1
-            )
-            score = jnp.where(inter, -local_ranks, -INF)
-            _, sel_f = jax.lax.top_k(score, min(K, Ksrc))
-            sel = jnp.take_along_axis(src[parent], sel_f, axis=1)
-            if K > Ksrc:  # pad (degenerate config)
-                sel = jnp.pad(sel, ((0, 0), (0, K - Ksrc)))
-        else:
+        def chunk_fn(args):
+            tx, ty = args  # (tile_chunk,)
             inter = (
                 (x0[None, :] <= tx[:, None])
                 & (x1[None, :] >= tx[:, None])
@@ -305,13 +317,13 @@ def bin_gaussians(
                 & sv[None, :]
             )
             score = jnp.where(inter, -ranks[None, :], -INF)
-            _, sel = jax.lax.top_k(score, K)  # depth-ascending
-        counts = jnp.minimum(inter.sum(axis=1), K)
-        return sel, counts
+            _, sel = topk(score, K)  # depth-ascending
+            counts = jnp.minimum(inter.sum(axis=1), K)
+            return sel, counts
 
-    sel, counts = jax.lax.map(chunk_fn, (txs, tys))
-    sel = sel.reshape(T_pad, K)[:T]
-    counts = counts.reshape(T_pad)[:T]
+        sel, counts = jax.lax.map(chunk_fn, (txs, tys))
+        sel = sel.reshape(T_pad, K)[:T]
+        counts = counts.reshape(T_pad)[:T]
 
     slot_valid = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1) < counts[:, None]
     tile_idx = jnp.where(slot_valid, order[sel], C)
@@ -422,6 +434,59 @@ def _blend(
     return img, acc_d, alpha_img, n_touched
 
 
+def _blend_pallas(
+    tile_idx: jax.Array,  # (T, K)
+    slot_valid: jax.Array,  # (T, K)
+    mean2d: jax.Array,
+    conic: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    depth: jax.Array,
+    bg: jax.Array,
+    *,
+    ntx: int,
+    nty: int,
+    tile_size: int,
+    tile_group: int,
+):
+    """Pallas-kernel blending path. Gathers per-tile parameters in XLA
+    (differentiable — its transpose is the per-Gaussian scatter-add) and
+    hands a (K, T, 10) block to the VMEM kernel."""
+    from .rasterizer_pallas import pallas_blend
+
+    T, K = tile_idx.shape
+    C = mean2d.shape[0]
+    pad = lambda arr: jnp.concatenate(
+        [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], 0
+    )
+    idx = jnp.minimum(tile_idx, C)  # sentinel row
+    fields = jnp.concatenate(
+        [
+            pad(mean2d),
+            pad(conic),
+            pad(colors),
+            pad(depth[:, None]),
+            pad(opacities[:, None]),
+        ],
+        axis=1,
+    )  # (C+1, 10)
+    tp = fields[idx.T]  # gather directly in (K, T, 10) layout
+    counts = slot_valid.sum(axis=1).astype(jnp.int32)
+
+    interpret = jax.default_backend() == "cpu"
+    acc, trans, nt = pallas_blend(
+        tp, counts, ntx, nty, tile_size, tile_group, interpret
+    )
+    P = tile_size * tile_size
+    img = acc[:, :3, :].transpose(0, 2, 1) + trans[..., None] * bg[None, None, :]
+    depth_t = acc[:, 3, :]
+    alpha_t = 1.0 - trans
+    n_touched = jnp.zeros((C,), jnp.int32).at[tile_idx.reshape(-1)].add(
+        nt.reshape(-1), mode="drop"
+    )
+    return img, depth_t, alpha_t, n_touched
+
+
 def _tiles_to_image(tiles: jax.Array, ntx: int, nty: int, ts: int, H: int, W: int):
     """(T, P, ...) tile buffers -> (H, W, ...) image crop."""
     extra = tiles.shape[2:]
@@ -431,6 +496,44 @@ def _tiles_to_image(tiles: jax.Array, ntx: int, nty: int, ts: int, H: int, W: in
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def prepare_bins(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    margin: float = 0.0,
+):
+    """Project + bin only (no blending). Returns (tile_idx, slot_valid).
+
+    `margin` expands every Gaussian's screen radius by that many pixels so
+    the binning stays valid under small pose perturbations — used to
+    amortise binning across several optimisation steps in the tracking loop
+    (the reference CUDA rasterizer re-bins every iteration; re-binning every
+    `rebin_every` steps with a margin is numerically equivalent for
+    sub-pixel pose deltas)."""
+    ntx, nty = cfg.grid(intr)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t, intr
+    )
+    return bin_gaussians(
+        jax.lax.stop_gradient(proj["mean2d"]),
+        jax.lax.stop_gradient(proj["radius"]) + margin,
+        jax.lax.stop_gradient(proj["depth"]),
+        proj["valid"],
+        ntx=ntx,
+        nty=nty,
+        tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile,
+        tile_chunk=cfg.tile_chunk,
+        coarse_factor=cfg.coarse_factor,
+        max_per_coarse=cfg.max_per_coarse,
+        use_approx_topk=cfg.use_approx_topk,
+        approx_recall=cfg.approx_recall,
+    )
+
+
 def rasterize(
     params: Dict[str, jax.Array],
     active: jax.Array,
@@ -439,6 +542,7 @@ def rasterize(
     intr: Intrinsics,
     cfg: RenderConfig,
     vs_offset: Optional[jax.Array] = None,
+    bins=None,
 ) -> RenderOutput:
     """Low-level differentiable rasterization.
 
@@ -446,6 +550,7 @@ def rasterize(
     (GaussianMap.params()). Differentiable w.r.t. params, R, t and
     vs_offset. `vs_offset` is a (C, 2) zero tensor in NDC units whose
     gradient equals the screen-space mean gradient used for densification.
+    `bins` (from prepare_bins) reuses a precomputed tile assignment.
     """
     ntx, nty = cfg.grid(intr)
     proj = project_gaussians(
@@ -461,39 +566,60 @@ def rasterize(
     colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
     opac = jax.nn.sigmoid(params["logit_opacities"])
 
-    tile_idx, slot_valid = bin_gaussians(
-        jax.lax.stop_gradient(mean2d),
-        jax.lax.stop_gradient(proj["radius"]),
-        jax.lax.stop_gradient(proj["depth"]),
-        proj["valid"],
-        ntx=ntx,
-        nty=nty,
-        tile_size=cfg.tile_size,
-        max_per_tile=cfg.max_per_tile,
-        tile_chunk=cfg.tile_chunk,
-        coarse_factor=cfg.coarse_factor,
-        max_per_coarse=cfg.max_per_coarse,
-    )
+    if bins is None:
+        tile_idx, slot_valid = bin_gaussians(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(proj["radius"]),
+            jax.lax.stop_gradient(proj["depth"]),
+            proj["valid"],
+            ntx=ntx,
+            nty=nty,
+            tile_size=cfg.tile_size,
+            max_per_tile=cfg.max_per_tile,
+            tile_chunk=cfg.tile_chunk,
+            coarse_factor=cfg.coarse_factor,
+            max_per_coarse=cfg.max_per_coarse,
+            use_approx_topk=cfg.use_approx_topk,
+            approx_recall=cfg.approx_recall,
+        )
+    else:
+        tile_idx, slot_valid = bins
 
     bg = (
         jnp.ones((3,), jnp.float32)
         if cfg.white_background
         else jnp.zeros((3,), jnp.float32)
     )
-    img_t, depth_t, alpha_t, n_touched = _blend(
-        tile_idx,
-        slot_valid,
-        mean2d,
-        proj["conic"],
-        colors,
-        opac,
-        proj["depth"],
-        bg,
-        ntx=ntx,
-        nty=nty,
-        tile_size=cfg.tile_size,
-        gaussian_chunk=cfg.gaussian_chunk,
-    )
+    if cfg.use_pallas:
+        img_t, depth_t, alpha_t, n_touched = _blend_pallas(
+            tile_idx,
+            slot_valid,
+            mean2d,
+            proj["conic"],
+            colors,
+            opac,
+            proj["depth"],
+            bg,
+            ntx=ntx,
+            nty=nty,
+            tile_size=cfg.tile_size,
+            tile_group=cfg.tile_group,
+        )
+    else:
+        img_t, depth_t, alpha_t, n_touched = _blend(
+            tile_idx,
+            slot_valid,
+            mean2d,
+            proj["conic"],
+            colors,
+            opac,
+            proj["depth"],
+            bg,
+            ntx=ntx,
+            nty=nty,
+            tile_size=cfg.tile_size,
+            gaussian_chunk=cfg.gaussian_chunk,
+        )
 
     H, W = intr.height, intr.width
     ts = cfg.tile_size

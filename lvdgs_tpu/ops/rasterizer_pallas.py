@@ -1,0 +1,322 @@
+"""Pallas TPU kernels for the tile blending stage of the rasterizer.
+
+The XLA `_blend` scan (rasterizer.py) computes every (tile, gaussian, pixel)
+product at full K with masked math and materialises (T, Kc, P) alpha tensors
+in HBM each scan step — bandwidth-bound and wasteful for tiles holding far
+fewer than K Gaussians. These kernels keep the entire front-to-back
+accumulation in VMEM:
+
+- grid over groups of TILE_GROUP tiles (one TensorCore, pipelined);
+- per group, a `while_loop` over the depth-sorted per-tile Gaussian list
+  with TWO exits: k reaches the group's max count, or every pixel in the
+  group is saturated (transmittance < 1e-4 — the CUDA early-stop);
+- per step, one (TILE_GROUP, 256) vector alpha/accumulate evaluation.
+
+The backward kernel replays front-to-back using the prefix/suffix identity
+  dL/d alpha_k = <g_acc, T_k c_k - S_k/(1-alpha_k)> - g_trans * T_N/(1-alpha_k)
+(S_k = total - prefix_k), producing per-(tile, slot) parameter gradients
+that XLA scatter-adds back to Gaussians through the autodiff of the gather.
+This replaces the hand-written CUDA backward of the reference's
+diff-gaussian-rasterization (SURVEY.md §2.8 item 1).
+
+Layouts: tile params are (K, T, F) so the dynamic k-slice hits the leading
+dimension; pixels are the 256 lanes of a 16x16 tile.
+
+F fields: [mean_x, mean_y, conic_a, conic_b, conic_c, r, g, b, depth, opacity]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NF = 10
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1.0e-4
+
+
+def _pixel_coords(g, tile_group, ntx, ts):
+    """Pixel coordinates for the tiles of group g -> (TG, ts*ts) each."""
+    tid = g * tile_group + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_group, 1), 0
+    )  # (TG, 1)
+    ox = ((tid % ntx) * ts).astype(jnp.float32)
+    oy = ((tid // ntx) * ts).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
+    pxo = (lin % ts).astype(jnp.float32)
+    pyo = (lin // ts).astype(jnp.float32)
+    return ox + pxo, oy + pyo  # (TG, P)
+
+
+def _slot_params(tp_ref, k, tile_group):
+    p = tp_ref[pl.ds(k, 1)].reshape(tile_group, NF)
+    return [p[:, i : i + 1] for i in range(NF)]  # list of (TG, 1)
+
+
+def _alpha_at(p, px, py, k, counts):
+    """Alpha test for slot k on the (TG, P) pixel grid. Returns
+    (alpha, G, dx, dy, valid_mask)."""
+    mx, my, ca, cb, cc, _r, _g, _b, _d, op = p
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    raw = op * G
+    slot_ok = (k < counts)  # (TG, 1)
+    ok = (power <= 0.0) & (raw >= ALPHA_MIN) & slot_ok
+    alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
+    return alpha, G, dx, dy, raw
+
+
+def _make_fwd_kernel(tile_group: int, ntx: int, ts: int, K: int):
+    P = ts * ts
+
+    def kernel(counts_ref, tp_ref, acc_ref, trans_ref, nt_ref):
+        g = pl.program_id(0)
+        px, py = _pixel_coords(g, tile_group, ntx, ts)
+        counts = counts_ref[:].astype(jnp.int32)  # (TG, 1)
+        kmax = jnp.max(counts)
+        # lane index over K for the one-hot n_touched accumulate (Mosaic
+        # forbids dynamic lane-dim stores)
+        k_lane = jax.lax.broadcasted_iota(jnp.int32, (tile_group, K), 1)
+
+        def cond(state):
+            k, trans, *_ = state
+            return (k < kmax) & (jnp.max(trans) > T_EPS)
+
+        def body(state):
+            k, trans, ar, ag, ab, ad, nt = state
+            p = _slot_params(tp_ref, k, tile_group)
+            alpha, _G, _dx, _dy, _raw = _alpha_at(p, px, py, k, counts)
+            contributes = trans > T_EPS
+            w = jnp.where(contributes, alpha * trans, 0.0)
+            ar += w * p[5]
+            ag += w * p[6]
+            ab += w * p[7]
+            ad += w * p[8]
+            cnt = (w > 0.0).sum(axis=1).astype(jnp.int32)[:, None]  # (TG, 1)
+            nt = nt + jnp.where(k_lane == k, cnt, 0)
+            trans = trans * (1.0 - alpha)
+            return k + 1, trans, ar, ag, ab, ad, nt
+
+        zeros = jnp.zeros((tile_group, P), jnp.float32)
+        k, trans, ar, ag, ab, ad, nt = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros((), jnp.int32), jnp.ones((tile_group, P), jnp.float32),
+             zeros, zeros, zeros, zeros, jnp.zeros((tile_group, K), jnp.int32)),
+        )
+        acc_ref[:, 0, :] = ar
+        acc_ref[:, 1, :] = ag
+        acc_ref[:, 2, :] = ab
+        acc_ref[:, 3, :] = ad
+        trans_ref[:] = trans
+        nt_ref[:] = nt
+
+    return kernel
+
+
+def _make_bwd_kernel(tile_group: int, ntx: int, ts: int, K: int):
+    P = ts * ts
+
+    def kernel(counts_ref, tp_ref, acc_ref, trans_ref, dacc_ref, dtrans_ref, dtp_ref):
+        g = pl.program_id(0)
+        px, py = _pixel_coords(g, tile_group, ntx, ts)
+        counts = counts_ref[:].astype(jnp.int32)
+        kmax = jnp.max(counts)
+
+        dtp_ref[:] = jnp.zeros((K, tile_group, NF), jnp.float32)
+
+        tot_r = acc_ref[:, 0, :]
+        tot_g = acc_ref[:, 1, :]
+        tot_b = acc_ref[:, 2, :]
+        tot_d = acc_ref[:, 3, :]
+        trans_final = trans_ref[:]
+        g_r = dacc_ref[:, 0, :]
+        g_g = dacc_ref[:, 1, :]
+        g_b = dacc_ref[:, 2, :]
+        g_d = dacc_ref[:, 3, :]
+        g_t = dtrans_ref[:]
+
+        def cond(state):
+            k, trans, *_ = state
+            return (k < kmax) & (jnp.max(trans) > T_EPS)
+
+        def body(state):
+            k, trans, pr, pg, pb, pd = state
+            p = _slot_params(tp_ref, k, tile_group)
+            mx, my, ca, cb, cc, cr, cg, cbl, cd, op = p
+            alpha, G, dx, dy, raw = _alpha_at(p, px, py, k, counts)
+            contributes = trans > T_EPS
+            w = jnp.where(contributes, alpha * trans, 0.0)
+            pr += w * cr
+            pg += w * cg
+            pb += w * cbl
+            pd += w * cd
+            one_m = 1.0 - alpha
+
+            # suffix sums AFTER this slot
+            sr = tot_r - pr
+            sg = tot_g - pg
+            sb = tot_b - pb
+            sd = tot_d - pd
+            # dL/d alpha at each pixel
+            galpha = (
+                g_r * jnp.where(contributes, trans * cr - sr / one_m, 0.0)
+                + g_g * jnp.where(contributes, trans * cg - sg / one_m, 0.0)
+                + g_b * jnp.where(contributes, trans * cbl - sb / one_m, 0.0)
+                + g_d * jnp.where(contributes, trans * cd - sd / one_m, 0.0)
+                - g_t * trans_final / one_m
+            )
+            galpha = jnp.where(alpha > 0.0, galpha, 0.0)
+
+            unclamped = raw < ALPHA_MAX
+            d_op_px = jnp.where(unclamped, galpha * G, 0.0)
+            d_pow = jnp.where(unclamped, galpha * alpha, 0.0)
+
+            d_mx = (d_pow * (ca * dx + cb * dy)).sum(axis=1)
+            d_my = (d_pow * (cc * dy + cb * dx)).sum(axis=1)
+            d_ca = (d_pow * (-0.5 * dx * dx)).sum(axis=1)
+            d_cb = (d_pow * (-dx * dy)).sum(axis=1)
+            d_cc = (d_pow * (-0.5 * dy * dy)).sum(axis=1)
+            d_cr = (g_r * w).sum(axis=1)
+            d_cg = (g_g * w).sum(axis=1)
+            d_cb2 = (g_b * w).sum(axis=1)
+            d_cd = (g_d * w).sum(axis=1)
+            d_op = d_op_px.sum(axis=1)
+
+            grads = jnp.stack(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_cd, d_op],
+                axis=-1,
+            )  # (TG, NF)
+            dtp_ref[pl.ds(k, 1)] = grads[None]
+            trans = trans * one_m
+            return k + 1, trans, pr, pg, pb, pd
+
+        zeros = jnp.zeros((tile_group, P), jnp.float32)
+        jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros((), jnp.int32), jnp.ones((tile_group, P), jnp.float32),
+             zeros, zeros, zeros, zeros),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "interpret")
+)
+def _blend_fwd_call(tp, counts, *, ntx, nty, tile_size, tile_group, interpret):
+    K, T, _ = tp.shape
+    ts = tile_size
+    P = ts * ts
+    TG = tile_group
+    n_groups = -(-T // TG)
+    T_pad = n_groups * TG
+    if T_pad != T:
+        tp = jnp.pad(tp, ((0, 0), (0, T_pad - T), (0, 0)))
+        counts = jnp.pad(counts, (0, T_pad - T))
+
+    kernel = _make_fwd_kernel(TG, ntx, ts, K)
+    acc, trans, nt = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TG, NF), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TG, 4, P), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, P), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, K), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, 4, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts[:, None].astype(jnp.int32), tp)
+    return acc[:T], trans[:T], nt[:T]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "interpret")
+)
+def _blend_bwd_call(tp, counts, acc, trans, dacc, dtrans, *, ntx, nty, tile_size,
+                    tile_group, interpret):
+    K, T, _ = tp.shape
+    ts = tile_size
+    P = ts * ts
+    TG = tile_group
+    n_groups = -(-T // TG)
+    T_pad = n_groups * TG
+    if T_pad != T:
+        tp = jnp.pad(tp, ((0, 0), (0, T_pad - T), (0, 0)))
+        counts = jnp.pad(counts, (0, T_pad - T))
+        acc = jnp.pad(acc, ((0, T_pad - T), (0, 0), (0, 0)))
+        trans = jnp.pad(trans, ((0, T_pad - T), (0, 0)))
+        dacc = jnp.pad(dacc, ((0, T_pad - T), (0, 0), (0, 0)))
+        dtrans = jnp.pad(dtrans, ((0, T_pad - T), (0, 0)))
+
+    kernel = _make_bwd_kernel(TG, ntx, ts, K)
+    dtp = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TG, NF), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, 4, P), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, P), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, 4, P), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, P), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, TG, NF), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, T_pad, NF), jnp.float32),
+        interpret=interpret,
+    )(counts[:, None].astype(jnp.int32), tp, acc, trans, dacc, dtrans)
+    return dtp[:, :T]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pallas_blend(tp, counts, ntx, nty, tile_size, tile_group, interpret):
+    """Front-to-back blend of pre-gathered tile params.
+
+    tp: (K, T, NF) float32 (fields documented at module top, depth-sorted
+    front first), counts: (T,) int32 valid slots per tile.
+    Returns (acc (T, 4, P), trans (T, P), n_touched (T, K)).
+    Differentiable w.r.t. tp.
+    """
+    return _blend_fwd_call(
+        tp, counts, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        interpret=interpret,
+    )
+
+
+def _pb_fwd(tp, counts, ntx, nty, tile_size, tile_group, interpret):
+    out = _blend_fwd_call(
+        tp, counts, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        interpret=interpret,
+    )
+    acc, trans, nt = out
+    return out, (tp, counts, acc, trans)
+
+
+def _pb_bwd(ntx, nty, tile_size, tile_group, interpret, res, cot):
+    tp, counts, acc, trans = res
+    dacc, dtrans, _dnt = cot
+    dtp = _blend_bwd_call(
+        tp, counts, acc, trans, dacc, dtrans,
+        ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        interpret=interpret,
+    )
+    return dtp, None
+
+
+pallas_blend.defvjp(_pb_fwd, _pb_bwd)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core.camera import Camera, Intrinsics
 from ..core.losses import get_median_depth
-from ..ops.rasterizer import RenderConfig, rasterize
+from ..ops.rasterizer import RenderConfig, prepare_bins, rasterize
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +37,11 @@ class TrackingConfig:
     b1: float = 0.9
     b2: float = 0.999
     adam_eps: float = 1e-8
+    # tile binning is recomputed every `rebin_every` steps with a
+    # `bin_margin`-pixel radius slack (pose deltas per Adam step are
+    # sub-pixel, so the assignment stays valid between rebins)
+    rebin_every: int = 10
+    bin_margin: float = 8.0
 
 
 class TrackState(NamedTuple):
@@ -90,9 +95,9 @@ def track_camera(
         (gt.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
     )[None].astype(jnp.float32)
 
-    def loss_fn(tau, ab, R, T):
+    def loss_fn(tau, ab, R, T, bins):
         Rn, Tn = lie.apply_delta(R, T, tau)
-        out = rasterize(params, active, Rn, Tn, intr, rcfg)
+        out = rasterize(params, active, Rn, Tn, intr, rcfg, bins=bins)
         image_ab = jnp.exp(ab[0]) * out.image + ab[1]
         l1 = out.opacity * jnp.abs(image_ab * rgb_mask - gt * rgb_mask)
         return l1.mean(), out
@@ -102,11 +107,8 @@ def track_camera(
         [jnp.full((3,), tcfg.lr_trans), jnp.full((3,), tcfg.lr_rot)]
     )
 
-    def cond(s: TrackState):
-        return (~s.done) & (s.it < tcfg.max_iters)
-
-    def body(s: TrackState) -> TrackState:
-        (loss, out), (g_tau, g_ab) = grad_fn(jnp.zeros(6), s.ab, s.R, s.T)
+    def body_with_bins(s: TrackState, bins) -> TrackState:
+        (loss, out), (g_tau, g_ab) = grad_fn(jnp.zeros(6), s.ab, s.R, s.T, bins)
         it = s.it + 1
         itf = it.astype(jnp.float32)
 
@@ -141,6 +143,22 @@ def track_camera(
             loss=loss,
         )
 
+    def outer_cond(s: TrackState):
+        return (~s.done) & (s.it < tcfg.max_iters)
+
+    def outer_body(s: TrackState) -> TrackState:
+        # rebin at the current pose with a pixel-radius margin
+        bins = prepare_bins(params, active, s.R, s.T, intr, rcfg, margin=tcfg.bin_margin)
+
+        def inner_cond(st: TrackState):
+            return (~st.done) & (st.it < tcfg.max_iters) & (
+                st.it < s.it + tcfg.rebin_every
+            )
+
+        return jax.lax.while_loop(
+            inner_cond, lambda st: body_with_bins(st, bins), s
+        )
+
     H, W = intr.height, intr.width
     C = params["means"].shape[0]
     init = TrackState(
@@ -159,7 +177,7 @@ def track_camera(
         n_touched=jnp.zeros((C,), jnp.int32),
         loss=jnp.zeros(()),
     )
-    s = jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)
     return TrackResult(
         R=s.R,

@@ -14,6 +14,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: rasterizer/mapping programs take minutes to
+# compile through the remote-compile tunnel; cache hits make warm restarts fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 
 def main():
     parser = argparse.ArgumentParser(description="LVD-GS-TPU SLAM")
