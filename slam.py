@@ -45,7 +45,26 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
 
     masker = build_masker(config)
-    slam = SLAM(config, save_dir=save_dir, masker=masker)
+
+    # MASt3R pointmap priors (pose seed + mono depth) when a checkpoint is
+    # configured (reference loads it at utils/slam_frontend.py:1214)
+    pose_prior = depth_prior = None
+    m_cfg = config.get("mast3r", {}) or {}
+    ckpt = m_cfg.get("checkpoint")
+    if ckpt and os.path.exists(ckpt):
+        from lvdgs_tpu.models.mast3r.inference import (
+            MASt3RInference, make_depth_prior, make_pose_prior,
+        )
+        from lvdgs_tpu.data.datasets import load_dataset
+
+        model = MASt3RInference.from_checkpoint(ckpt)
+        ds = load_dataset(None, "", config)
+        pose_prior = make_pose_prior(model, ds.intrinsics, ds.dist_coeffs)
+        depth_prior = make_depth_prior(model, ds.intrinsics)
+        Log(f"MASt3R priors enabled from {ckpt}")
+
+    slam = SLAM(config, save_dir=save_dir, masker=masker,
+                pose_prior=pose_prior, depth_prior=depth_prior)
     if args.no_color_refinement:
         slam.do_color_refinement = False
     if args.no_eval_rendering:
