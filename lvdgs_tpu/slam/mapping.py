@@ -409,6 +409,7 @@ def color_refine_run(
     kfbuf: KeyframeBuffer,
     rng: jax.Array,
     n_iters: jax.Array,
+    it0: jax.Array | int = 0,
     *,
     intr: Intrinsics,
     rcfg: RenderConfig,
@@ -439,12 +440,14 @@ def color_refine_run(
         ll1 = l1_loss(mi, mg)
         return (1.0 - mcfg.lambda_dssim) * ll1 + mcfg.lambda_dssim * (1.0 - ssim(mi, mg))
 
+    it0 = jnp.asarray(it0, jnp.int32)
+
     def body(i, carry):
         gmap, opt_state, rng = carry
         rng, k = jax.random.split(rng)
         slot = jax.random.randint(k, (), 0, jnp.maximum(kfbuf.count, 1))
         loss, g = jax.value_and_grad(loss_fn)(gmap.params(), gmap.active, slot)
-        gmap, opt_state = opt.step(gmap, g, opt_state, i + 1)
+        gmap, opt_state = opt.step(gmap, g, opt_state, it0 + i + 1)
         return (gmap, opt_state, rng)
 
     gmap, opt_state, _ = jax.lax.fori_loop(0, n_iters, body, (gmap, opt_state, rng))

@@ -194,7 +194,45 @@ class SLAM:
         self.frames_processed = 0
         self._cams: Dict[int, Camera] = {}
 
+        # device programs running longer than ~60 s get killed by the TPU
+        # relay; mapping/refinement calls are chunked below this many
+        # iterations (exact continuation via local_it0/it0 threading)
+        self.max_iters_per_dispatch = perf.get("max_iters_per_dispatch", 300)
+
     # ------------------------------------------------------------------ utils
+
+    def _run_mapping(self, window_slots, n_iters: int, mcfg):
+        """mapping_run split into dispatch-size chunks. The per-dispatch
+        budget scales inversely with the number of rendered cameras so a
+        windowed 10-camera iteration gets ~10x fewer iterations per chunk
+        than single-camera init mapping."""
+        n_cams = mcfg.window_size + mcfg.n_random
+        seg_limit = max(1, self.max_iters_per_dispatch // max(1, n_cams))
+        local_it = 0
+        res = None
+        remaining = int(n_iters)
+        while remaining > 0:
+            seg = min(remaining, seg_limit)
+            self.rng, key = jax.random.split(self.rng)
+            res = mapping_run(
+                self.gmap,
+                self.opt_state,
+                self.kfbuf,
+                window_slots,
+                key,
+                self.iteration_count,
+                jnp.asarray(seg, jnp.int32),
+                local_it,
+                intr=self.intr,
+                rcfg=self.rcfg,
+                opt=self.opt,
+                mcfg=mcfg,
+            )
+            self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
+            self.iteration_count = res.iteration_count
+            local_it += seg
+            remaining -= seg
+        return res
 
     def _record_frame(self, idx: int, cam: Camera) -> None:
         self.frames[idx] = {
@@ -326,22 +364,9 @@ class SLAM:
             adaptive_pointsize=self.adaptive_pointsize,
             opt_state=self.opt_state,
         )
-        self.rng, key = jax.random.split(self.rng)
-        res = mapping_run(
-            self.gmap,
-            self.opt_state,
-            self.kfbuf,
-            jnp.asarray([self.kf_slots[idx]], jnp.int32),
-            key,
-            self.iteration_count,
-            jnp.asarray(self.init_itr_num, jnp.int32),
-            intr=self.intr,
-            rcfg=self.rcfg,
-            opt=self.opt,
-            mcfg=self.mcfg_init,
+        res = self._run_mapping(
+            jnp.asarray([self.kf_slots[idx]], jnp.int32), self.init_itr_num, self.mcfg_init
         )
-        self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
-        self.iteration_count = res.iteration_count
         self.occ_visibility[idx] = res.occ_visibility[0]
         Log(f"Initialized map ({int(self.gmap.num_active)} gaussians)")
 
@@ -373,22 +398,7 @@ class SLAM:
             )
 
         window_slots = self._window_slots()
-        self.rng, key = jax.random.split(self.rng)
-        res = mapping_run(
-            self.gmap,
-            self.opt_state,
-            self.kfbuf,
-            window_slots,
-            key,
-            self.iteration_count,
-            jnp.asarray(iter_per_kf, jnp.int32),
-            intr=self.intr,
-            rcfg=self.rcfg,
-            opt=self.opt,
-            mcfg=mcfg,
-        )
-        self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
-        self.iteration_count = res.iteration_count
+        self._run_mapping(window_slots, iter_per_kf, mcfg)
 
         # map(prune=True) pass
         self.gmap, occ, initialized = covisibility_prune(
@@ -545,18 +555,23 @@ class SLAM:
     def color_refinement(self, iters: Optional[int] = None) -> None:
         iters = iters or self.color_refinement_iters
         Log(f"Starting color refinement ({iters} iters)")
-        self.rng, key = jax.random.split(self.rng)
-        self.gmap, self.opt_state = color_refine_run(
-            self.gmap,
-            self.opt_state,
-            self.kfbuf,
-            key,
-            jnp.asarray(iters, jnp.int32),
-            intr=self.intr,
-            rcfg=self.rcfg,
-            opt=self.opt,
-            mcfg=self.mcfg,
-        )
+        done = 0
+        while done < iters:
+            seg = min(iters - done, self.max_iters_per_dispatch)
+            self.rng, key = jax.random.split(self.rng)
+            self.gmap, self.opt_state = color_refine_run(
+                self.gmap,
+                self.opt_state,
+                self.kfbuf,
+                key,
+                jnp.asarray(seg, jnp.int32),
+                done,
+                intr=self.intr,
+                rcfg=self.rcfg,
+                opt=self.opt,
+                mcfg=self.mcfg,
+            )
+            done += seg
         Log("Map refinement done")
 
     def run(self, n_frames: Optional[int] = None, progress: bool = True) -> dict:
