@@ -92,21 +92,26 @@ def main():
     slam.do_eval_rendering = False
     slam.do_color_refinement = False
 
-    # warmup: frame 0 (init mapping compile) + frame 1 (tracking compile)
+    # warmup until the first post-init keyframe has been mapped, so every
+    # program (init mapping, tracking, windowed mapping, prune) is compiled
+    # before the timed region
     t0 = time.perf_counter()
-    slam.process_frame(0)
-    slam.process_frame(1)
-    warm = time.perf_counter() - t0
-    log(f"warmup (init + first track, incl. compile): {warm:.1f}s")
-
-    t0 = time.perf_counter()
-    for idx in range(2, n_frames + 1):
+    idx = 0
+    while idx <= n_frames and len(slam.kf_indices) < 2:
         slam.process_frame(idx)
-    import jax as _jax
+        idx += 1
+    warm = time.perf_counter() - t0
+    log(f"warmup ({idx} frames incl. all compiles): {warm:.1f}s")
 
-    _jax.block_until_ready(slam.gmap.means)
+    start_idx = idx
+    t0 = time.perf_counter()
+    for idx in range(start_idx, n_frames + 1):
+        slam.process_frame(idx)
+    # force completion: fetch a scalar (block_until_ready does not sync
+    # through the TPU relay)
+    float(slam.gmap.means[0, 0])
     wall = time.perf_counter() - t0
-    frames = n_frames - 1
+    frames = n_frames + 1 - start_idx
     fps = frames / wall
     kfps = max(len(slam.kf_indices) - 1, 0) / wall
     log(

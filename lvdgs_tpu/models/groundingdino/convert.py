@@ -1,0 +1,249 @@
+"""groundingdino_swint_ogc.pth -> JAX params.
+
+The reference loads this checkpoint at frontend init (utils/slam_frontend.py
+:201,:241). Key mapping follows the official module tree
+(module.backbone.0.*, module.bert.*, module.transformer.*); the loader
+strips a leading 'module.' when present. Exact numerical parity requires
+the checkpoint, absent from this environment — the mapping is best-effort
+and validated structurally (missing/unexpected keys are reported).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from .model import GroundingDINOConfig
+
+
+def _t(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+class _SD:
+    """state-dict view that records misses instead of raising."""
+
+    def __init__(self, sd):
+        self.sd = sd
+        self.missing: List[str] = []
+
+    def lin(self, p, bias=True):
+        if f"{p}.weight" not in self.sd:
+            self.missing.append(p)
+            return None
+        out = {"weight": _t(self.sd[f"{p}.weight"])}
+        if bias and f"{p}.bias" in self.sd:
+            out["bias"] = np.asarray(self.sd[f"{p}.bias"])
+        return out
+
+    def raw(self, k):
+        if k not in self.sd:
+            self.missing.append(k)
+            return None
+        return np.asarray(self.sd[k])
+
+    def ln(self, p):
+        return {"weight": self.raw(f"{p}.weight"), "bias": self.raw(f"{p}.bias")}
+
+
+def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
+    sd = {
+        (k[7:] if k.startswith("module.") else k): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in sd.items()
+    }
+    s = _SD(sd)
+
+    # ---- swin backbone (backbone.0.*)
+    bb = "backbone.0"
+    swin = {
+        "patch_embed": {
+            "weight": s.raw(f"{bb}.patch_embed.proj.weight"),
+            "bias": s.raw(f"{bb}.patch_embed.proj.bias"),
+        },
+        "patch_norm": s.ln(f"{bb}.patch_embed.norm"),
+        "stages": [],
+        "out_norms": {},
+    }
+    for si, depth in enumerate(cfg.swin.depths):
+        blocks = []
+        for bi in range(depth):
+            b = f"{bb}.layers.{si}.blocks.{bi}"
+            blocks.append(
+                {
+                    "norm1": s.ln(f"{b}.norm1"),
+                    "attn": {
+                        "qkv": s.lin(f"{b}.attn.qkv"),
+                        "proj": s.lin(f"{b}.attn.proj"),
+                        "rel_pos_bias": s.raw(f"{b}.attn.relative_position_bias_table"),
+                    },
+                    "norm2": s.ln(f"{b}.norm2"),
+                    "mlp": {"fc1": s.lin(f"{b}.mlp.fc1"), "fc2": s.lin(f"{b}.mlp.fc2")},
+                }
+            )
+        stage = {"blocks": blocks}
+        if si < len(cfg.swin.depths) - 1:
+            stage["downsample"] = {
+                "norm": s.ln(f"{bb}.layers.{si}.downsample.norm"),
+                "reduction": s.lin(f"{bb}.layers.{si}.downsample.reduction", bias=False),
+            }
+        swin["stages"].append(stage)
+    for si in cfg.swin.out_indices:
+        swin["out_norms"][str(si)] = s.ln(f"{bb}.norm{si}")
+
+    # ---- bert (bert.bert.* in the official ckpt)
+    bp = "bert.bert" if "bert.bert.embeddings.word_embeddings.weight" in sd else "bert"
+    bert = {
+        "word_emb": s.raw(f"{bp}.embeddings.word_embeddings.weight"),
+        "pos_emb": s.raw(f"{bp}.embeddings.position_embeddings.weight"),
+        "type_emb": s.raw(f"{bp}.embeddings.token_type_embeddings.weight"),
+        "emb_ln": s.ln(f"{bp}.embeddings.LayerNorm"),
+        "layers": [],
+    }
+    for i in range(cfg.bert.layers):
+        b = f"{bp}.encoder.layer.{i}"
+        bert["layers"].append(
+            {
+                "q": s.lin(f"{b}.attention.self.query"),
+                "k": s.lin(f"{b}.attention.self.key"),
+                "v": s.lin(f"{b}.attention.self.value"),
+                "attn_out": s.lin(f"{b}.attention.output.dense"),
+                "attn_ln": s.ln(f"{b}.attention.output.LayerNorm"),
+                "fc1": s.lin(f"{b}.intermediate.dense"),
+                "fc2": s.lin(f"{b}.output.dense"),
+                "out_ln": s.ln(f"{b}.output.LayerNorm"),
+            }
+        )
+
+    # ---- neck, transformer, heads
+    def attn_p(prefix):
+        # torch MultiheadAttention: in_proj_weight (3D, D) packed
+        w = s.raw(f"{prefix}.in_proj_weight")
+        b = s.raw(f"{prefix}.in_proj_bias")
+        D = cfg.dim
+        if w is None:
+            return None
+        return {
+            "q": {"weight": _t(w[:D]), "bias": b[:D]},
+            "k": {"weight": _t(w[D : 2 * D]), "bias": b[D : 2 * D]},
+            "v": {"weight": _t(w[2 * D :]), "bias": b[2 * D :]},
+            "out": s.lin(f"{prefix}.out_proj"),
+        }
+
+    def deform_p(prefix):
+        return {
+            "sampling_offsets": s.lin(f"{prefix}.sampling_offsets"),
+            "attn_weights": s.lin(f"{prefix}.attention_weights"),
+            "value_proj": s.lin(f"{prefix}.value_proj"),
+            "output_proj": s.lin(f"{prefix}.output_proj"),
+        }
+
+    input_proj = []
+    for i in range(cfg.n_levels):
+        input_proj.append(
+            {
+                "weight": s.raw(f"input_proj.{i}.0.weight"),
+                "bias": s.raw(f"input_proj.{i}.0.bias"),
+                "gn": s.ln(f"input_proj.{i}.1"),
+            }
+        )
+
+    tr = "transformer"
+    enc_layers = []
+    for i in range(cfg.enc_layers):
+        e = f"{tr}.encoder.layers.{i}"
+        f = f"{tr}.encoder.fusion_layers.{i}"
+        t = f"{tr}.encoder.text_layers.{i}"
+        enc_layers.append(
+            {
+                "fusion": {
+                    "ln_v": s.ln(f"{f}.layer_norm_v"),
+                    "ln_l": s.ln(f"{f}.layer_norm_l"),
+                    "v_proj": s.lin(f"{f}.attn.v_proj"),
+                    "l_proj": s.lin(f"{f}.attn.l_proj"),
+                    "values_v": s.lin(f"{f}.attn.values_v_proj"),
+                    "values_l": s.lin(f"{f}.attn.values_l_proj"),
+                    "out_v": s.lin(f"{f}.attn.out_v_proj"),
+                    "out_l": s.lin(f"{f}.attn.out_l_proj"),
+                    "gamma_v": s.raw(f"{f}.gamma_v"),
+                    "gamma_l": s.raw(f"{f}.gamma_l"),
+                },
+                "text_attn": attn_p(f"{t}.self_attn"),
+                "text_ln1": s.ln(f"{t}.norm1"),
+                "text_ffn": {
+                    "fc1": s.lin(f"{t}.linear1"),
+                    "fc2": s.lin(f"{t}.linear2"),
+                    "ln": s.ln(f"{t}.norm2"),
+                },
+                "deform": deform_p(f"{e}.self_attn"),
+                "img_ln1": s.ln(f"{e}.norm1"),
+                "img_ffn": {
+                    "fc1": s.lin(f"{e}.linear1"),
+                    "fc2": s.lin(f"{e}.linear2"),
+                    "ln": s.ln(f"{e}.norm2"),
+                },
+            }
+        )
+
+    dec_layers = []
+    for i in range(cfg.dec_layers):
+        d = f"{tr}.decoder.layers.{i}"
+        dec_layers.append(
+            {
+                "self_attn": attn_p(f"{d}.self_attn"),
+                "ln1": s.ln(f"{d}.norm2"),
+                "text_cross": attn_p(f"{d}.ca_text"),
+                "ln2": s.ln(f"{d}.catext_norm"),
+                "deform": deform_p(f"{d}.cross_attn"),
+                "ln3": s.ln(f"{d}.norm1"),
+                "ffn": {
+                    "fc1": s.lin(f"{d}.linear1"),
+                    "fc2": s.lin(f"{d}.linear2"),
+                    "ln": s.ln(f"{d}.norm3"),
+                },
+            }
+        )
+
+    params = {
+        "backbone": swin,
+        "bert": bert,
+        "feat_map": s.lin("feat_map"),
+        "input_proj": input_proj,
+        "level_embed": s.raw(f"{tr}.level_embed"),
+        "text_pos_embed": s.raw(f"{tr}.encoder.text_layers.0.self_attn_pos")  # may be absent
+        or np.zeros((cfg.max_text_len, cfg.dim), np.float32),
+        "enc_layers": enc_layers,
+        "enc_output": s.lin(f"{tr}.enc_output"),
+        "enc_output_ln": s.ln(f"{tr}.enc_output_norm"),
+        "enc_bbox": [
+            s.lin(f"{tr}.enc_out_bbox_embed.layers.{j}") for j in range(3)
+        ],
+        "tgt_embed": s.raw(f"{tr}.tgt_embed.weight"),
+        "ref_point_head": [
+            s.lin(f"{tr}.decoder.ref_point_head.layers.{j}") for j in range(2)
+        ],
+        "dec_layers": dec_layers,
+        "bbox_embed": [s.lin(f"bbox_embed.0.layers.{j}") for j in range(3)],
+    }
+    import jax
+    import jax.numpy as jnp
+
+    if s.missing:
+        import warnings
+
+        warnings.warn(
+            f"GroundingDINO conversion: {len(s.missing)} unmapped keys, e.g. "
+            f"{s.missing[:5]} — verify against the real checkpoint"
+        )
+    return jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32) if x is not None else None, params
+    )
+
+
+def load_converted(path: str, cfg: GroundingDINOConfig):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return convert_state_dict(sd, cfg)

@@ -1,0 +1,160 @@
+"""GroundingDINO inference: tokenisation, prompt masks, detector plug-in.
+
+`load_detector(ckpt)` returns the callable the DynamicObjectMasker expects:
+(image_rgb_u8, prompt) -> (boxes_xyxy pixels (N, 4), scores (N,)) —
+the reference `predict()` path (GroundingDINO util.inference, consumed at
+utils/slam_frontend.py:308-382 including the cxcywh -> xyxy fix).
+
+Tokenisation uses a WordPiece tokenizer loaded from a local vocab.txt
+(configurable; BERT-uncased). Phrase-block self-attention masks follow
+generate_masks_with_special_tokens_and_transfer_map: '.'/[CLS]/[SEP] split
+the caption into phrases; tokens attend only within their phrase (special
+tokens attend to everything before them in the reference; we use the
+phrase-block form used at inference).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .model import GroundingDINOConfig, groundingdino_forward
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class WordPieceTokenizer:
+    """Minimal BERT-uncased WordPiece tokenizer (vocab.txt driven)."""
+
+    def __init__(self, vocab_path: Optional[str] = None):
+        self.vocab = {}
+        if vocab_path and os.path.exists(vocab_path):
+            with open(vocab_path, encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    self.vocab[line.rstrip("\n")] = i
+        self.cls = self.vocab.get("[CLS]", 101)
+        self.sep = self.vocab.get("[SEP]", 102)
+        self.unk = self.vocab.get("[UNK]", 100)
+        self.dot = self.vocab.get(".", 1012)
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if not self.vocab:
+            # fallback: deterministic hash ids (architecture testing only)
+            return [hash(word) % 28000 + 2000]
+        if word in self.vocab:
+            return [self.vocab[word]]
+        out = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = self.vocab[sub]
+                    break
+                end -= 1
+            if piece is None:
+                return [self.unk]
+            out.append(piece)
+            start = end
+        return out
+
+    def __call__(self, caption: str) -> List[int]:
+        ids = [self.cls]
+        for tok in caption.lower().replace(".", " . ").split():
+            if tok == ".":
+                ids.append(self.dot)
+            else:
+                ids.extend(self._wordpiece(tok))
+        ids.append(self.sep)
+        return ids
+
+
+def build_text_masks(ids: np.ndarray, special: Tuple[int, ...]):
+    """(L,) ids -> (L, L) phrase-block self-attention mask + (L,) pad mask.
+
+    Tokens between special tokens ('.', [CLS], [SEP]) attend within their
+    segment; special tokens attend to themselves only (inference-mode form
+    of generate_masks_with_special_tokens_and_transfer_map)."""
+    L = len(ids)
+    is_special = np.isin(ids, special)
+    seg = np.cumsum(is_special)  # segment id per token
+    same = (seg[:, None] == seg[None, :]) & ~is_special[:, None] & ~is_special[None, :]
+    mask = same | np.eye(L, dtype=bool)
+    return mask, np.ones(L, bool)
+
+
+class GroundingDINODetector:
+    def __init__(self, params, cfg: Optional[GroundingDINOConfig] = None,
+                 vocab_path: Optional[str] = None, image_size: int = 800):
+        self.cfg = cfg or GroundingDINOConfig()
+        self.params = params
+        self.tokenizer = WordPieceTokenizer(vocab_path)
+        self.image_size = image_size
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[GroundingDINOConfig] = None,
+                        vocab_path: Optional[str] = None):
+        from .convert import load_converted
+
+        cfg = cfg or GroundingDINOConfig()
+        return cls(load_converted(path, cfg), cfg, vocab_path)
+
+    def __call__(self, img_u8: np.ndarray, prompt: str,
+                 box_threshold: float = 0.35) -> Tuple[np.ndarray, np.ndarray]:
+        H, W = img_u8.shape[:2]
+        S = self.image_size
+        scale = S / max(H, W)
+        newH = int(round(H * scale / 32)) * 32 or 32
+        newW = int(round(W * scale / 32)) * 32 or 32
+        try:
+            import cv2
+
+            resized = cv2.resize(img_u8, (newW, newH), interpolation=cv2.INTER_LINEAR)
+        except Exception:
+            import jax
+
+            resized = np.asarray(
+                jax.image.resize(jnp.asarray(img_u8, jnp.float32), (newH, newW, 3), "bilinear")
+            )
+        x = (resized.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        x = x.transpose(2, 0, 1)[None]
+
+        ids = np.asarray(self.tokenizer(prompt), np.int32)[: self.cfg.max_text_len]
+        self_mask, pad_mask = build_text_masks(
+            ids, (self.tokenizer.cls, self.tokenizer.sep, self.tokenizer.dot)
+        )
+        out = groundingdino_forward(
+            self.params,
+            jnp.asarray(x),
+            jnp.asarray(ids)[None],
+            jnp.asarray(self_mask)[None],
+            jnp.asarray(pad_mask)[None],
+            self.cfg,
+        )
+        logits = np.asarray(out["logits"][0])  # (Q, max_text_len)
+        boxes = np.asarray(out["boxes"][0])  # (Q, 4) cxcywh normalised
+        with np.errstate(invalid="ignore"):
+            scores = 1.0 / (1.0 + np.exp(-np.nan_to_num(logits, neginf=-50.0)))
+        best = scores.max(axis=1)
+        keep = best >= box_threshold
+        boxes = boxes[keep]
+        best = best[keep]
+        # cxcywh normalised -> xyxy pixels (reference fix at
+        # utils/slam_frontend.py:362-382)
+        cx, cy, bw, bh = boxes.T if len(boxes) else (np.zeros(0),) * 4
+        xyxy = np.stack(
+            [(cx - bw / 2) * W, (cy - bh / 2) * H, (cx + bw / 2) * W, (cy + bh / 2) * H],
+            axis=-1,
+        ) if len(boxes) else np.zeros((0, 4))
+        return xyxy, best
+
+
+def load_detector(ckpt_path: str, vocab_path: Optional[str] = None):
+    return GroundingDINODetector.from_checkpoint(ckpt_path, vocab_path=vocab_path)
