@@ -334,6 +334,36 @@ def isotropic_reg(scaling: jax.Array, active: jax.Array) -> jax.Array:
     return (dev * m).sum() / (m.sum() * scaling.shape[1] + 1e-8)
 
 
+def debug_loss_mask_coverage(cam: Camera, rgb_boundary_threshold: float = 0.01,
+                             verbose: bool = False) -> dict:
+    """Report what fraction of pixels each mask stage keeps in the tracking
+    loss. The reference CALLS this (utils/slam_frontend.py:1509-1514) but
+    never defines it (a bare except hides the NameError, SURVEY.md §5.3) —
+    implemented here as intended.
+    """
+    total = cam.image.shape[1] * cam.image.shape[2]
+    rgb_mask = cam.image.sum(axis=0) > rgb_boundary_threshold
+    stats = {
+        "rgb_valid": float(rgb_mask.mean()),
+        "grad_mask": float(cam.grad_mask.mean()),
+        "combined": float((rgb_mask & cam.grad_mask).mean()),
+        "total_pixels": int(total),
+    }
+    if bool(cam.has_static_mask):
+        stats["static"] = float(cam.static_mask.mean())
+        stats["combined_static"] = float(
+            (rgb_mask & cam.grad_mask & cam.static_mask).mean()
+        )
+    if verbose:
+        from .log import Log
+
+        Log(
+            "loss mask coverage: "
+            + ", ".join(f"{k}={v:.1%}" for k, v in stats.items() if isinstance(v, float))
+        )
+    return stats
+
+
 # ----------------------------------------------------------------------------
 # depth statistics
 

@@ -180,6 +180,16 @@ class SLAM:
         self.pose_prior = pose_prior  # callable(cam, last_kf_cam, slam) -> (R, T) seed
         self.depth_prior = depth_prior  # callable(image) -> mono depth (H, W)
 
+        # headless GUI feed (reference use_gui + GaussianPacket channel)
+        self.viewer = None
+        if res.get("use_gui", False):
+            from ..gui.gui_utils import HeadlessViewer
+
+            self.viewer = HeadlessViewer(
+                os.path.join(self.save_dir or ".", "gui"),
+                every=res.get("gui_every", 5),
+            )
+
         # mutable state
         self.frames: Dict[int, dict] = {}
         self.kf_indices: List[int] = []
@@ -538,6 +548,25 @@ class SLAM:
             self.timer.toc("mapping")
         self.frames_processed += 1
 
+        if self.viewer is not None:
+            from ..gui.gui_utils import GaussianPacket, snapshot_gaussians
+
+            self.viewer.put(
+                GaussianPacket(
+                    gaussians=snapshot_gaussians(self.gmap) if create_kf else None,
+                    current_frame={"R": self.frames[idx]["R"], "T": self.frames[idx]["T"],
+                                   "uid": idx},
+                    render=np.asarray(res.image),
+                    keyframes=[
+                        {"R": self.frames[k]["R"], "T": self.frames[k]["T"], "uid": k}
+                        for k in self.current_window
+                    ],
+                    kf_window={self.current_window[0]: self.current_window[1:]}
+                    if self.current_window
+                    else None,
+                )
+            )
+
         if (
             self.save_results
             and self.save_trj
@@ -551,6 +580,62 @@ class SLAM:
                 idx,
                 monocular=self.monocular,
             )
+
+    # ------------------------------------------------------------- checkpoint
+
+    def save_state(self, path: str) -> None:
+        """Full resumable state (new capability — the reference is
+        output-only with no resume, SURVEY.md §5.4)."""
+        from ..io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            {
+                "gmap": self.gmap,
+                "opt_state": self.opt_state,
+                "kfbuf": self.kfbuf,
+                "frames": self.frames,
+                "kf_indices": list(self.kf_indices),
+                "kf_slots": dict(self.kf_slots),
+                "current_window": list(self.current_window),
+                "occ_visibility": {k: np.asarray(v) for k, v in self.occ_visibility.items()},
+                "initialized": self.initialized,
+                "iteration_count": np.asarray(self.iteration_count),
+                "median_depth": self.median_depth,
+                "frames_processed": self.frames_processed,
+                "rng": np.asarray(self.rng),
+            },
+        )
+
+    def load_state(self, path: str) -> None:
+        from ..io.checkpoint import load_checkpoint
+
+        st = load_checkpoint(path)
+        self.gmap = jax.tree.map(jnp.asarray, self.gmap.replace(
+            **{f: st["gmap"][f] if isinstance(st["gmap"], dict) else getattr(st["gmap"], f)
+               for f in self.gmap.__dataclass_fields__}
+        ))
+        so = st["opt_state"]
+        self.opt_state = self.opt_state.replace(
+            m=jax.tree.map(jnp.asarray, so["m"] if isinstance(so, dict) else so.m),
+            v=jax.tree.map(jnp.asarray, so["v"] if isinstance(so, dict) else so.v),
+            count=jnp.asarray(so["count"] if isinstance(so, dict) else so.count),
+        )
+        kb = st["kfbuf"]
+        self.kfbuf = self.kfbuf.replace(
+            **{f: jnp.asarray(kb[f] if isinstance(kb, dict) else getattr(kb, f))
+               for f in self.kfbuf.__dataclass_fields__}
+        )
+        self.frames = {int(k): v for k, v in st["frames"].items()}
+        self.kf_indices = [int(i) for i in st["kf_indices"]]
+        self.kf_slots = {int(k): int(v) for k, v in st["kf_slots"].items()}
+        self.current_window = [int(i) for i in st["current_window"]]
+        self.occ_visibility = {int(k): jnp.asarray(v) for k, v in st["occ_visibility"].items()}
+        self.initialized = bool(st["initialized"])
+        self.iteration_count = jnp.asarray(st["iteration_count"])
+        self.median_depth = float(st["median_depth"])
+        self.frames_processed = int(st["frames_processed"])
+        self.rng = jnp.asarray(st["rng"])
 
     def color_refinement(self, iters: Optional[int] = None) -> None:
         iters = iters or self.color_refinement_iters
@@ -574,16 +659,20 @@ class SLAM:
             done += seg
         Log("Map refinement done")
 
-    def run(self, n_frames: Optional[int] = None, progress: bool = True) -> dict:
+    def run(self, n_frames: Optional[int] = None, progress: bool = True,
+            checkpoint_every: Optional[int] = None) -> dict:
         n = len(self.dataset) if n_frames is None else min(n_frames, len(self.dataset))
+        start = self.frames_processed  # resume support
         t0 = time.perf_counter()
-        for idx in range(n):
+        for idx in range(start, n):
             self.process_frame(idx)
             if progress and idx % 25 == 0:
                 Log(
                     f"frame {idx}/{n} kfs={len(self.kf_indices)} "
                     f"gaussians={int(self.gmap.num_active)}"
                 )
+            if checkpoint_every and (idx + 1) % checkpoint_every == 0:
+                self.save_state(os.path.join(self.save_dir, "checkpoint"))
         wall = time.perf_counter() - t0
         fps = n / wall
 
@@ -614,5 +703,7 @@ class SLAM:
                 )
             )
         results["timers"] = self.timer.summary()
+        if self.viewer is not None:
+            self.viewer.close()
         Log(f"SLAM done: {fps:.2f} fps, {len(self.kf_indices)} keyframes", tag="Eval")
         return results

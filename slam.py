@@ -28,6 +28,10 @@ def main():
     parser.add_argument("--save-dir", type=str, default=None)
     parser.add_argument("--no-color-refinement", action="store_true")
     parser.add_argument("--no-eval-rendering", action="store_true")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume from a checkpoint directory")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        help="save a resumable checkpoint every N frames")
     args = parser.parse_args()
 
     from lvdgs_tpu.core.config import load_config
@@ -70,7 +74,11 @@ def main():
     if args.no_eval_rendering:
         slam.do_eval_rendering = False
 
-    results = slam.run(n_frames=args.n_frames)
+    if args.resume:
+        slam.load_state(args.resume)
+        Log(f"Resumed from {args.resume} at frame {slam.frames_processed}")
+
+    results = slam.run(n_frames=args.n_frames, checkpoint_every=args.checkpoint_every)
     Log(f"Results: {results}", tag="Eval")
     return results
 

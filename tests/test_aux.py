@@ -1,0 +1,99 @@
+"""Auxiliary subsystems: configs load, GUI packets, viz, checkpoint resume,
+DINOv2, dynamic filter, debug helper."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_all_configs_load():
+    from lvdgs_tpu.core.config import load_config
+
+    paths = glob.glob(os.path.join(REPO, "configs", "mono", "**", "*.yaml"), recursive=True)
+    assert len(paths) >= 30
+    for p in paths:
+        cfg = load_config(p)
+        assert "Training" in cfg and "Dataset" in cfg, p
+        assert "tracking_itr_num" in cfg["Training"], p
+
+
+def test_gui_packet_and_headless_viewer(tmp_path):
+    from lvdgs_tpu.gui.gui_utils import GaussianPacket, HeadlessViewer, snapshot_gaussians, FakeQueue
+    from lvdgs_tpu.gaussian import model as gm
+
+    gmap = gm.create_map(128)
+    gmap = gmap.replace(active=gmap.active.at[:10].set(True))
+    snap = snapshot_gaussians(gmap)
+    assert snap["means"].shape == (10, 3)
+
+    v = HeadlessViewer(str(tmp_path), every=1)
+    rng = np.random.default_rng(0)
+    v.put(GaussianPacket(gaussians=snap, render=rng.uniform(0, 1, (3, 32, 32))))
+    v.close()
+    assert os.path.exists(os.path.join(str(tmp_path), "live_map.ply"))
+
+    fq = FakeQueue()
+    fq.put("x")
+    assert fq.empty()
+
+
+def test_viz_outputs(tmp_path):
+    from lvdgs_tpu.eval.viz import save_depth_comparison, six_panel, mask_overlay
+
+    rng = np.random.default_rng(1)
+    d = rng.uniform(1, 5, (24, 32)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (3, 24, 32)).astype(np.float32)
+    p1 = save_depth_comparison(d, d * 1.1, rgb, 3, str(tmp_path))
+    assert os.path.exists(p1)
+    p2 = six_panel(rgb, rgb, d, d, d > 2, 4, str(tmp_path))
+    assert os.path.exists(p2)
+    out = mask_overlay((rgb.transpose(1, 2, 0) * 255).astype(np.uint8), d > 3)
+    assert out.shape == (24, 32, 3)
+
+
+def test_dinov2_forward_tiny():
+    from lvdgs_tpu.models.dinov2.model import TINY_DINO, init_params, dinov2_forward
+
+    cfg = TINY_DINO
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.zeros((1, 3, 32, 40))
+    out = dinov2_forward(params, img, cfg)
+    assert len(out["tokens"]) == cfg.depth
+    assert out["final"].shape == (1, 1 + 4 * 5, cfg.dim)
+    assert out["attn"][0].shape == (1, cfg.heads, 21, 21)
+
+
+def test_dynamic_filter_no_detector():
+    from lvdgs_tpu.perception.dynamic_filter import DynamicObjectFilter
+
+    f = DynamicObjectFilter()
+    img = np.zeros((16, 24, 3), np.uint8)
+    assert f.get_dynamic_mask(img).sum() == 0
+    assert f.get_static_mask(img).all()
+
+
+def test_debug_loss_mask_coverage():
+    from lvdgs_tpu.core.camera import Camera, Intrinsics
+    from lvdgs_tpu.core.losses import debug_loss_mask_coverage
+
+    intr = Intrinsics(fx=10, fy=10, cx=8, cy=6, width=16, height=12)
+    cam = Camera.create(0, jnp.ones((3, 12, 16)) * 0.5, intr)
+    stats = debug_loss_mask_coverage(cam)
+    assert stats["rgb_valid"] == 1.0
+    assert 0 <= stats["combined"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from lvdgs_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+
+    state = {"a": jnp.arange(5), "b": {"c": np.ones((2, 2)), "d": 3}}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state)
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(5))
+    assert int(out["b"]["d"]) == 3
