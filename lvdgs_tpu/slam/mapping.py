@@ -65,6 +65,11 @@ class MappingConfig:
     densify_from_iter: int = 500
     monocular: bool = True
     up_pose: bool = True
+    # static switch for the dynamic-mask-aware loss branch: when no masker
+    # is configured the reference uses the plain loss everywhere; compiling
+    # the masked branch out avoids paying SSIM(+grad) under vmap's
+    # cond->select for every camera every iteration
+    use_masked_loss: bool = False
 
 
 class MappingResult(NamedTuple):
@@ -186,15 +191,27 @@ def mapping_run(
                         1 - mcfg.alpha
                     ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
 
-                use_mask = cam.has_static_mask & is_w
-                loss = jax.lax.cond(use_mask, masked_branch, plain_branch, None)
+                if mcfg.use_masked_loss:
+                    use_mask = cam.has_static_mask & is_w
+                    loss = jax.lax.cond(use_mask, masked_branch, plain_branch, None)
+                else:
+                    loss = plain_branch(None)
 
             aux = (out.visibility_filter, out.radii, out.n_touched)
             return loss * w_i, aux
 
-        losses, aux = jax.lax.map(
-            per_cam, (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
-        )
+        import os as _os
+        if _os.environ.get("LVDGS_VMAP_CAMS", "1") == "1":
+            # vmap batches all cameras' binning top_k's and Pallas blend
+            # grids into single larger device ops (better occupancy than
+            # sequential per-camera dispatches)
+            losses, aux = jax.vmap(per_cam)(
+                (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
+            )
+        else:
+            losses, aux = jax.lax.map(
+                per_cam, (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
+            )
         total = losses.sum()
         # isotropic regulariser (reference utils/slam_backend.py:302-305)
         total = total + mcfg.isotropic_weight * isotropic_reg(

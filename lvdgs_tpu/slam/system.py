@@ -127,6 +127,7 @@ class SLAM:
             gaussian_reset=tr.get("gaussian_reset", 2001),
             size_threshold=tr.get("size_threshold", 20),
             monocular=self.monocular,
+            use_masked_loss=masker is not None,
         )
         self.mcfg = MappingConfig(**common)
         self.mcfg_ba = MappingConfig(
