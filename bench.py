@@ -45,7 +45,7 @@ def main():
     )
     config = load_config(cfg_path)
     # KITTI-07 camera geometry (reference configs/mono/KITTI/07.yaml)
-    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     config["Dataset"].update(
         {
             "n_frames": n_frames + 1,
@@ -74,7 +74,7 @@ def main():
     )
     config["Performance"] = {
         "tile_size": 16,
-        "max_per_tile": 512,
+        "max_per_tile": 256,
         "gaussian_chunk": 32,
         "tile_chunk": 128,
         "map_capacity": 2**17,

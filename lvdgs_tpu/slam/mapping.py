@@ -471,6 +471,74 @@ def color_refine_run(
     return gmap, opt_state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "rcfg", "opt", "mcfg"),
+    donate_argnames=("gmap", "opt_state"),
+)
+def global_ba_run(
+    gmap: gm.GaussianMap,
+    opt_state: gm.AdamState,
+    kfbuf: KeyframeBuffer,
+    rng: jax.Array,
+    n_iters: jax.Array,
+    it0: jax.Array | int = 0,
+    *,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    opt: gm.MapOptimizer,
+    mcfg: MappingConfig,
+):
+    """Global bundle adjustment (new capability — the reference carries
+    `Results.global_BA` / `global_BA_itr_num` in its configs but never
+    implements a handler, SURVEY.md §5.6).
+
+    Each iteration samples one stored keyframe, renders it, and jointly
+    optimises the map AND that keyframe's pose (se(3) delta, frame 0 pinned)
+    against the photometric+depth loss. Poses update in the buffer, so this
+    is a stochastic photometric BA over the whole trajectory.
+    Returns (gmap, opt_state, kfbuf)."""
+    M = kfbuf.capacity
+    it0 = jnp.asarray(it0, jnp.int32)
+    lr_tau = jnp.concatenate([jnp.full((3,), mcfg.lr_trans), jnp.full((3,), mcfg.lr_rot)])
+
+    def body(i, carry):
+        gmap, opt_state, kfbuf, rng = carry
+        rng, k = jax.random.split(rng)
+        slot = jax.random.randint(k, (), 0, jnp.maximum(kfbuf.count, 1))
+
+        def loss_fn(p, tau):
+            cam = camera_from_slot(kfbuf, slot)
+            Rn, Tn = lie.apply_delta(kfbuf.R[slot], kfbuf.T[slot], tau)
+            out = rasterize(p, gmap.active, Rn, Tn, intr, rcfg)
+            gt = cam.image
+            mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(jnp.float32)
+            md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
+            return mcfg.alpha * jnp.abs(out.image * mr - gt * mr).mean() + (
+                1 - mcfg.alpha
+            ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+
+        (g_params, g_tau) = jax.grad(loss_fn, argnums=(0, 1))(
+            gmap.params(), jnp.zeros(6)
+        )
+        gmap, opt_state = opt.step(gmap, g_params, opt_state, it0 + i + 1)
+        # plain SGD-like pose step (per-frame Adam state is impractical when
+        # sampling random frames; small fixed-lr update, frame 0 pinned)
+        tau_new = jnp.where(
+            kfbuf.frame_idx[slot] != 0, -lr_tau * g_tau, jnp.zeros(6)
+        )
+        Rn, Tn = lie.apply_delta(kfbuf.R[slot], kfbuf.T[slot], tau_new)
+        kfbuf = kfbuf.replace(
+            R=kfbuf.R.at[slot].set(Rn), T=kfbuf.T.at[slot].set(Tn)
+        )
+        return (gmap, opt_state, kfbuf, rng)
+
+    gmap, opt_state, kfbuf, _ = jax.lax.fori_loop(
+        0, n_iters, body, (gmap, opt_state, kfbuf, rng)
+    )
+    return gmap, opt_state, kfbuf
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "rcfg", "prune_num", "window_size"))
 def covisibility_prune(
     gmap: gm.GaussianMap,

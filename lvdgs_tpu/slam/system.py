@@ -37,7 +37,9 @@ from ..ops.rasterizer import RenderConfig, rasterize
 from . import state as slam_state
 from .depth_alignment import process_depth
 from .keyframe import add_to_window, is_keyframe, keyframe_rotation_delta_deg
-from .mapping import MappingConfig, color_refine_run, covisibility_prune, mapping_run
+from .mapping import (
+    MappingConfig, color_refine_run, covisibility_prune, global_ba_run, mapping_run,
+)
 from .tracking import TrackingConfig, track_camera
 
 
@@ -175,6 +177,8 @@ class SLAM:
         self.do_color_refinement = res.get("color_refinement", True)
         self.color_refinement_iters = res.get("color_refinement_iters", 26000)
         self.do_eval_rendering = res.get("eval_rendering", True)
+        self.do_global_ba = res.get("global_BA", False)
+        self.global_ba_iters = tr.get("global_BA_itr_num", 500)
 
         # dynamic masking / pose-prior / depth-prior plug points
         self.masker = masker
@@ -269,8 +273,8 @@ class SLAM:
             return jnp.asarray(dataset_mono, jnp.float32)
         return jnp.zeros((self.intr.height, self.intr.width), jnp.float32)
 
-    def _build_camera(self, idx: int) -> Camera:
-        image, depth, pose, mono = self.dataset[idx]
+    def _build_camera(self, idx: int, sample=None) -> Camera:
+        image, depth, pose, mono = self.dataset[idx] if sample is None else sample
         gt_R = jnp.asarray(pose[:3, :3], jnp.float32)
         gt_T = jnp.asarray(pose[:3, 3], jnp.float32)
         cam = Camera.create(
@@ -501,8 +505,8 @@ class SLAM:
         self.kf_slots[idx] = int(slot)
         self._backend_keyframe(idx, depth)
 
-    def process_frame(self, idx: int) -> None:
-        cam = self._build_camera(idx)
+    def process_frame(self, idx: int, sample=None) -> None:
+        cam = self._build_camera(idx, sample)
         if idx == 0 or not self.current_window:
             self._initialize(idx, cam)
             self.frames_processed += 1
@@ -638,6 +642,37 @@ class SLAM:
         self.frames_processed = int(st["frames_processed"])
         self.rng = jnp.asarray(st["rng"])
 
+    def global_ba(self, iters: Optional[int] = None) -> None:
+        """Photometric global bundle adjustment over all keyframes (the
+        reference carries the config flag but never implements it)."""
+        iters = iters or self.global_ba_iters
+        Log(f"Starting global BA ({iters} iters)")
+        done = 0
+        while done < iters:
+            seg = min(iters - done, self.max_iters_per_dispatch)
+            self.rng, key = jax.random.split(self.rng)
+            self.gmap, self.opt_state, self.kfbuf = global_ba_run(
+                self.gmap,
+                self.opt_state,
+                self.kfbuf,
+                key,
+                jnp.asarray(seg, jnp.int32),
+                done,
+                intr=self.intr,
+                rcfg=self.rcfg,
+                opt=self.opt,
+                mcfg=self.mcfg,
+            )
+            done += seg
+        self._sync_backend()
+        # refresh every stored keyframe pose into the frame records
+        R = np.asarray(self.kfbuf.R)
+        T = np.asarray(self.kfbuf.T)
+        for kf_idx, slot in self.kf_slots.items():
+            self.frames[kf_idx]["R"] = R[slot]
+            self.frames[kf_idx]["T"] = T[slot]
+        Log("Global BA done")
+
     def color_refinement(self, iters: Optional[int] = None) -> None:
         iters = iters or self.color_refinement_iters
         Log(f"Starting color refinement ({iters} iters)")
@@ -664,9 +699,12 @@ class SLAM:
             checkpoint_every: Optional[int] = None) -> dict:
         n = len(self.dataset) if n_frames is None else min(n_frames, len(self.dataset))
         start = self.frames_processed  # resume support
+        from ..data.prefetch import PrefetchLoader
+
+        loader = PrefetchLoader(self.dataset, depth=4, start=start, end=n)
         t0 = time.perf_counter()
-        for idx in range(start, n):
-            self.process_frame(idx)
+        for idx, sample in loader:
+            self.process_frame(idx, sample)
             if progress and idx % 25 == 0:
                 Log(
                     f"frame {idx}/{n} kfs={len(self.kf_indices)} "
@@ -678,6 +716,8 @@ class SLAM:
         fps = n / wall
 
         results = {"fps": fps, "n_frames": n, "n_keyframes": len(self.kf_indices)}
+        if self.do_global_ba:
+            self.global_ba()
         if self.do_color_refinement:
             self.color_refinement()
         if self.save_results:

@@ -57,3 +57,49 @@ def test_e2e_ply_roundtrip(slam_results):
         means.sum(), float(np.asarray(slam.gmap.means)[np.asarray(slam.gmap.active)].sum()),
         rtol=1e-4,
     )
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save mid-run, resume in a fresh SLAM instance, results stay sane."""
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 10
+    config["Training"]["init_itr_num"] = 200
+    config["Training"]["mapping_itr_num"] = 20
+    config["Training"]["tracking_itr_num"] = 20
+    config["Results"]["color_refinement"] = False
+    config["Results"]["eval_rendering"] = False
+
+    s1 = SLAM(config, save_dir=str(tmp_path / "a"))
+    for i in range(6):
+        s1.process_frame(i)
+    ck = str(tmp_path / "ck")
+    s1.save_state(ck)
+
+    s2 = SLAM(config, save_dir=str(tmp_path / "b"))
+    s2.load_state(ck)
+    assert s2.frames_processed == s1.frames_processed
+    assert s2.kf_indices == s1.kf_indices
+    import numpy as np
+    np.testing.assert_allclose(
+        np.asarray(s2.gmap.means), np.asarray(s1.gmap.means), atol=0
+    )
+    # continue to the end without error
+    res = s2.run(progress=False)
+    assert res["n_frames"] == 10
+    assert res["ate_rmse"] < 0.2
+
+
+def test_global_ba_runs(tmp_path):
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 8
+    config["Training"]["init_itr_num"] = 150
+    config["Training"]["mapping_itr_num"] = 15
+    config["Training"]["tracking_itr_num"] = 15
+    config["Training"]["global_BA_itr_num"] = 30
+    config["Results"]["global_BA"] = True
+    config["Results"]["color_refinement"] = False
+    config["Results"]["eval_rendering"] = False
+    slam = SLAM(config, save_dir=str(tmp_path))
+    res = slam.run(progress=False)
+    import numpy as np
+    assert np.isfinite(res["ate_rmse"])
