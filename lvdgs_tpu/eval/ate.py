@@ -120,7 +120,21 @@ def eval_ate(
         with open(os.path.join(plot_dir, f"stats_{label}.json"), "w") as f:
             json.dump(stats, f, indent=2)
         _plot_trajectory(trj_est_np, trj_gt_np, os.path.join(plot_dir, f"trj_{label}.png"))
+    _wandb_log({"ate_rmse": stats["rmse"], "ate_label": label})
     return stats["rmse"]
+
+
+def _wandb_log(metrics: dict) -> None:
+    """wandb metrics when a run is active (reference logs ATE/render metrics
+    at utils/eval_utils_0806.py:164,406-427; unlike the reference we import
+    lazily so a missing/unused wandb never crashes a run)."""
+    try:
+        import wandb
+
+        if wandb.run is not None:
+            wandb.log(metrics)
+    except Exception:
+        pass
 
 
 def _plot_trajectory(est_w2c, gt_w2c, path):

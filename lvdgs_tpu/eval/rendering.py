@@ -120,6 +120,9 @@ def eval_rendering(
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, f"metrics_{iteration}.json"), "w") as f:
             json.dump(result, f, indent=2)
+    from .ate import _wandb_log
+
+    _wandb_log({f"render/{k}": v for k, v in result.items() if isinstance(v, float)})
     return result
 
 
