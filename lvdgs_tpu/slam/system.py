@@ -196,6 +196,7 @@ class SLAM:
             )
 
         # mutable state
+        self.last_sent = 0  # idle-mapping counter (threaded-mode parity)
         self.frames: Dict[int, dict] = {}
         self.kf_indices: List[int] = []
         self.kf_slots: Dict[int, int] = {}
@@ -551,6 +552,32 @@ class SLAM:
             self.timer.tic("mapping")
             self._make_keyframe(idx, cam, res)
             self.timer.toc("mapping")
+            self.last_sent = 0
+        elif not self.single_thread and self.current_window:
+            # threaded-mode parity: the reference backend keeps mapping while
+            # idle — 1 iteration per loop, plus a 10-iteration prune+sync
+            # batch every 10 sends (utils/slam_backend.py:495-501)
+            self.timer.tic("idle_mapping")
+            self._run_mapping(self._window_slots(), 1, self.mcfg)
+            self.last_sent += 1
+            if self.last_sent >= 10:
+                self._run_mapping(self._window_slots(), 10, self.mcfg)
+                self.gmap, occ, initialized = covisibility_prune(
+                    self.gmap,
+                    self.kfbuf,
+                    self._window_slots(),
+                    jnp.asarray(self.initialized),
+                    intr=self.intr,
+                    rcfg=self.rcfg,
+                    prune_num=self.prune_num,
+                    window_size=self.window_size,
+                )
+                self.initialized = bool(initialized)
+                for i, kf_idx in enumerate(self.current_window):
+                    self.occ_visibility[kf_idx] = occ[i]
+                self._sync_backend()
+                self.last_sent = 0
+            self.timer.toc("idle_mapping")
         self.frames_processed += 1
 
         if self.viewer is not None:
