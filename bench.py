@@ -30,11 +30,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-
+def build_config(n_frames: int):
+    """The bench scenario config: synthetic scene at KITTI-07 geometry with
+    reference iteration budgets. Shared with tools/perf_mapping.py so
+    profiling hits the same compile cache entries."""
     from lvdgs_tpu.core.config import load_config
-    from lvdgs_tpu.slam.system import SLAM
 
     cfg_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -45,7 +45,6 @@ def main():
     )
     config = load_config(cfg_path)
     # KITTI-07 camera geometry (reference configs/mono/KITTI/07.yaml)
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     config["Dataset"].update(
         {
             "n_frames": n_frames + 1,
@@ -83,6 +82,16 @@ def main():
     config["Results"].update(
         {"save_results": False, "eval_rendering": False, "color_refinement": False}
     )
+    return config
+
+
+def main():
+    import jax
+
+    from lvdgs_tpu.slam.system import SLAM
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    config = build_config(n_frames)
 
     dev = jax.devices()[0]
     log(f"bench device: {dev} ({dev.platform})")

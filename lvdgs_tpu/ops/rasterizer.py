@@ -201,6 +201,7 @@ def bin_gaussians(
     radius: jax.Array,
     depth: jax.Array,
     valid: jax.Array,
+    margin: jax.Array | float = 0.0,
     *,
     ntx: int,
     nty: int,
@@ -220,12 +221,20 @@ def bin_gaussians(
     parent's candidate list. This replaces the CUDA (gaussian, tile) pair
     sort at static shape while keeping the per-fine-tile work ~C/30.
 
+    `margin` (pixels) additionally admits Gaussians whose radius+margin
+    reaches the tile, so the assignment stays valid while the pose/means
+    drift between rebins. Margin-only candidates are *two-priority*: they can
+    never evict a true intersector from a saturated tile (they rank strictly
+    below all real intersectors in the selection score) and the final slot
+    list is re-sorted by depth so blending order stays exact.
+
     Returns (tile_idx (T, K) int32 into original gaussian ids with C for
     empty slots, slot_valid (T, K) bool). Non-differentiable (indices).
     """
     C = mean2d.shape[0]
     T = ntx * nty
     K = max_per_tile
+    margin = jnp.asarray(margin, jnp.float32)
 
     def topk(score, k):
         if use_approx_topk and score.shape[-1] > 4 * k:
@@ -245,15 +254,29 @@ def bin_gaussians(
         order = jnp.concatenate([order, jnp.full((pad_n,), C, order.dtype)], 0)
     Cs = sv.shape[0]
 
-    # fine-tile AABB of each (sorted) gaussian
+    # fine-tile AABB of each (sorted) gaussian: real radius (priority class)
+    # and margin-expanded radius (inclusion)
+    srm = sr + margin
     x0 = jnp.floor((sm[:, 0] - sr) / tile_size).astype(jnp.int32)
     x1 = jnp.floor((sm[:, 0] + sr) / tile_size).astype(jnp.int32)
     y0 = jnp.floor((sm[:, 1] - sr) / tile_size).astype(jnp.int32)
     y1 = jnp.floor((sm[:, 1] + sr) / tile_size).astype(jnp.int32)
-    on_screen = (x1 >= 0) & (x0 <= ntx - 1) & (y1 >= 0) & (y0 <= nty - 1)
+    mx0 = jnp.floor((sm[:, 0] - srm) / tile_size).astype(jnp.int32)
+    mx1 = jnp.floor((sm[:, 0] + srm) / tile_size).astype(jnp.int32)
+    my0 = jnp.floor((sm[:, 1] - srm) / tile_size).astype(jnp.int32)
+    my1 = jnp.floor((sm[:, 1] + srm) / tile_size).astype(jnp.int32)
+    on_screen = (mx1 >= 0) & (mx0 <= ntx - 1) & (my1 >= 0) & (my0 <= nty - 1)
     sv = sv & on_screen
 
     ranks = jnp.arange(Cs, dtype=jnp.float32)
+
+    def resort_by_rank(sel, vals, rank_of_sel, sentinel):
+        """Re-sort selected slots by depth rank (ascending), invalid (-INF
+        score) entries to the back. Returns (sel_sorted, valid_count_prefix
+        stays correct because invalid ranks get the sentinel)."""
+        rank_key = jnp.where(vals > -INF * 0.5, rank_of_sel, sentinel)
+        sort_idx = jnp.argsort(rank_key, axis=1)
+        return jnp.take_along_axis(sel, sort_idx, axis=1)
 
     use_hierarchy = Cs > max_per_coarse and T > coarse_factor**2
     if use_hierarchy:
@@ -264,22 +287,43 @@ def bin_gaussians(
         Kc = max_per_coarse
         ctx = jnp.arange(Tc, dtype=jnp.int32) % ncx
         cty = jnp.arange(Tc, dtype=jnp.int32) // ncx
-        # coarse tile c spans fine tiles [c*cf, c*cf+cf)
-        inter_c = (
+        # coarse tile c spans fine tiles [c*cf, c*cf+cf) — margin-expanded
+        # AABB so margin candidates survive to the fine stage; real
+        # intersectors rank first so a saturated coarse list never drops
+        # them for margin-only candidates, and a depth re-sort keeps the
+        # candidate list depth-ascending (the fine stage relies on it)
+        inter_cr = (
             (x0[None, :] <= (ctx[:, None] + 1) * cf - 1)
             & (x1[None, :] >= ctx[:, None] * cf)
             & (y0[None, :] <= (cty[:, None] + 1) * cf - 1)
             & (y1[None, :] >= cty[:, None] * cf)
             & sv[None, :]
         )
-        score_c = jnp.where(inter_c, -ranks[None, :], -INF)
-        _, sel_c = topk(score_c, Kc)  # (Tc, Kc), depth-ascending
+        inter_c = (
+            (mx0[None, :] <= (ctx[:, None] + 1) * cf - 1)
+            & (mx1[None, :] >= ctx[:, None] * cf)
+            & (my0[None, :] <= (cty[:, None] + 1) * cf - 1)
+            & (my1[None, :] >= cty[:, None] * cf)
+            & sv[None, :]
+        )
+        score_c = jnp.where(
+            inter_cr, -ranks[None, :], jnp.where(inter_c, -ranks[None, :] - Cs, -INF)
+        )
+        vals_c, sel_c = topk(score_c, Kc)
+        sel_c = resort_by_rank(
+            sel_c, vals_c, sel_c.astype(jnp.float32), jnp.float32(2 * Cs)
+        )
+        sel_c = jnp.minimum(sel_c, Cs - 1)  # (Tc, Kc), depth-ascending
         cand_valid = jnp.take_along_axis(inter_c, sel_c, axis=1)
-        # candidate attributes per coarse tile
+        # candidate attributes per coarse tile (real + margin AABBs)
         cx0 = jnp.where(cand_valid, x0[sel_c], ntx + 1)
         cx1 = jnp.where(cand_valid, x1[sel_c], -1)
         cy0 = jnp.where(cand_valid, y0[sel_c], nty + 1)
         cy1 = jnp.where(cand_valid, y1[sel_c], -1)
+        cmx0 = jnp.where(cand_valid, mx0[sel_c], ntx + 1)
+        cmx1 = jnp.where(cand_valid, mx1[sel_c], -1)
+        cmy0 = jnp.where(cand_valid, my0[sel_c], nty + 1)
+        cmy1 = jnp.where(cand_valid, my1[sel_c], -1)
 
         # fine stage in one unchunked shot — the (T, Kc) intermediates are
         # ~30 MB each and XLA fuses the comparisons into the top_k input
@@ -287,19 +331,32 @@ def bin_gaussians(
         tx = tids % ntx
         ty = tids // ntx
         parent = (ty // cf) * ncx + (tx // cf)
-        inter = (
+        inter_r = (
             (cx0[parent] <= tx[:, None])
             & (cx1[parent] >= tx[:, None])
             & (cy0[parent] <= ty[:, None])
             & (cy1[parent] >= ty[:, None])
         )
+        inter_m = (
+            (cmx0[parent] <= tx[:, None])
+            & (cmx1[parent] >= tx[:, None])
+            & (cmy0[parent] <= ty[:, None])
+            & (cmy1[parent] >= ty[:, None])
+        )
         local_ranks = jax.lax.broadcasted_iota(jnp.float32, (T, Kc), 1)
-        score = jnp.where(inter, -local_ranks, -INF)
-        _, sel_f = topk(score, min(K, Kc))
-        sel = jnp.take_along_axis(sel_c[parent], sel_f, axis=1)
+        # two-priority: real intersectors first (by depth), margin-only after
+        score = jnp.where(
+            inter_r, -local_ranks, jnp.where(inter_m, -local_ranks - Kc, -INF)
+        )
+        vals, sel_f = topk(score, min(K, Kc))
+        rank_of_sel = sel_f.astype(jnp.float32)  # local index IS depth rank
+        sel_f = resort_by_rank(sel_f, vals, rank_of_sel, jnp.float32(2 * Kc))
+        sel = jnp.take_along_axis(
+            sel_c[parent], jnp.minimum(sel_f, Kc - 1), axis=1
+        )
         if K > Kc:  # degenerate config
             sel = jnp.pad(sel, ((0, 0), (0, K - Kc)))
-        counts = jnp.minimum(inter.sum(axis=1), K)
+        counts = jnp.minimum(inter_m.sum(axis=1), K)
     else:
         n_chunks = -(-T // tile_chunk)
         T_pad = n_chunks * tile_chunk
@@ -309,16 +366,27 @@ def bin_gaussians(
 
         def chunk_fn(args):
             tx, ty = args  # (tile_chunk,)
-            inter = (
+            inter_r = (
                 (x0[None, :] <= tx[:, None])
                 & (x1[None, :] >= tx[:, None])
                 & (y0[None, :] <= ty[:, None])
                 & (y1[None, :] >= ty[:, None])
                 & sv[None, :]
             )
-            score = jnp.where(inter, -ranks[None, :], -INF)
-            _, sel = topk(score, K)  # depth-ascending
-            counts = jnp.minimum(inter.sum(axis=1), K)
+            inter_m = (
+                (mx0[None, :] <= tx[:, None])
+                & (mx1[None, :] >= tx[:, None])
+                & (my0[None, :] <= ty[:, None])
+                & (my1[None, :] >= ty[:, None])
+                & sv[None, :]
+            )
+            score = jnp.where(
+                inter_r, -ranks[None, :], jnp.where(inter_m, -ranks[None, :] - Cs, -INF)
+            )
+            vals, sel = topk(score, K)
+            rank_of_sel = sel.astype(jnp.float32)  # global depth rank
+            sel = resort_by_rank(sel, vals, rank_of_sel, jnp.float32(2 * Cs))
+            counts = jnp.minimum(inter_m.sum(axis=1), K)
             return sel, counts
 
         sel, counts = jax.lax.map(chunk_fn, (txs, tys))
@@ -326,7 +394,7 @@ def bin_gaussians(
         counts = counts.reshape(T_pad)[:T]
 
     slot_valid = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1) < counts[:, None]
-    tile_idx = jnp.where(slot_valid, order[sel], C)
+    tile_idx = jnp.where(slot_valid, order[jnp.minimum(sel, Cs - 1)], C)
     return tile_idx, slot_valid
 
 
@@ -507,21 +575,22 @@ def prepare_bins(
 ):
     """Project + bin only (no blending). Returns (tile_idx, slot_valid).
 
-    `margin` expands every Gaussian's screen radius by that many pixels so
-    the binning stays valid under small pose perturbations — used to
-    amortise binning across several optimisation steps in the tracking loop
-    (the reference CUDA rasterizer re-bins every iteration; re-binning every
-    `rebin_every` steps with a margin is numerically equivalent for
-    sub-pixel pose deltas)."""
+    `margin` admits Gaussians whose radius+margin reaches a tile so the
+    binning stays valid under small pose perturbations — used to amortise
+    binning across several optimisation steps in the tracking/mapping loops
+    (the reference CUDA rasterizer re-bins every iteration). Margin
+    candidates are two-priority: they never evict true intersectors and the
+    slot lists stay depth-sorted (see bin_gaussians)."""
     ntx, nty = cfg.grid(intr)
     proj = project_gaussians(
         params["means"], params["quats"], params["log_scales"], active, R, t, intr
     )
     return bin_gaussians(
         jax.lax.stop_gradient(proj["mean2d"]),
-        jax.lax.stop_gradient(proj["radius"]) + margin,
+        jax.lax.stop_gradient(proj["radius"]),
         jax.lax.stop_gradient(proj["depth"]),
         proj["valid"],
+        margin,
         ntx=ntx,
         nty=nty,
         tile_size=cfg.tile_size,
@@ -564,7 +633,9 @@ def rasterize(
     from ..gaussian.model import SH_C0  # local import to avoid cycle
 
     colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
-    opac = jax.nn.sigmoid(params["logit_opacities"])
+    # active-gated so stale `bins` (computed before a prune/densify) can
+    # never resurrect an inactive slot
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
 
     if bins is None:
         tile_idx, slot_valid = bin_gaussians(

@@ -38,6 +38,8 @@ NF = 10
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
+UNROLL = 4  # slots per while-loop step: alpha math for the 4 slots is
+# independent (ILP for the VPU); only the transmittance chain is serial
 
 
 def _pixel_coords(g, tile_group, ntx, ts):
@@ -56,6 +58,14 @@ def _pixel_coords(g, tile_group, ntx, ts):
 def _slot_params(tp_ref, k, tile_group):
     p = tp_ref[pl.ds(k, 1)].reshape(tile_group, NF)
     return [p[:, i : i + 1] for i in range(NF)]  # list of (TG, 1)
+
+
+def _slot_params_block(tp_ref, k, tile_group):
+    """Params for slots k..k+UNROLL-1 -> UNROLL lists of (TG, 1)."""
+    pb = tp_ref[pl.ds(k, UNROLL)]  # (U, TG, NF)
+    return [
+        [pb[u, :, i : i + 1] for i in range(NF)] for u in range(UNROLL)
+    ]
 
 
 def _alpha_at(p, px, py, k, counts):
@@ -91,18 +101,20 @@ def _make_fwd_kernel(tile_group: int, ntx: int, ts: int, K: int):
 
         def body(state):
             k, trans, ar, ag, ab, ad, nt = state
-            p = _slot_params(tp_ref, k, tile_group)
-            alpha, _G, _dx, _dy, _raw = _alpha_at(p, px, py, k, counts)
-            contributes = trans > T_EPS
-            w = jnp.where(contributes, alpha * trans, 0.0)
-            ar += w * p[5]
-            ag += w * p[6]
-            ab += w * p[7]
-            ad += w * p[8]
-            cnt = (w > 0.0).sum(axis=1).astype(jnp.int32)[:, None]  # (TG, 1)
-            nt = nt + jnp.where(k_lane == k, cnt, 0)
-            trans = trans * (1.0 - alpha)
-            return k + 1, trans, ar, ag, ab, ad, nt
+            ps = _slot_params_block(tp_ref, k, tile_group)
+            for u in range(UNROLL):
+                p = ps[u]
+                alpha, _G, _dx, _dy, _raw = _alpha_at(p, px, py, k + u, counts)
+                contributes = trans > T_EPS
+                w = jnp.where(contributes, alpha * trans, 0.0)
+                ar += w * p[5]
+                ag += w * p[6]
+                ab += w * p[7]
+                ad += w * p[8]
+                cnt = (w > 0.0).sum(axis=1).astype(jnp.int32)[:, None]  # (TG, 1)
+                nt = nt + jnp.where(k_lane == k + u, cnt, 0)
+                trans = trans * (1.0 - alpha)
+            return k + UNROLL, trans, ar, ag, ab, ad, nt
 
         zeros = jnp.zeros((tile_group, P), jnp.float32)
         k, trans, ar, ag, ab, ad, nt = jax.lax.while_loop(
@@ -149,54 +161,59 @@ def _make_bwd_kernel(tile_group: int, ntx: int, ts: int, K: int):
 
         def body(state):
             k, trans, pr, pg, pb, pd = state
-            p = _slot_params(tp_ref, k, tile_group)
-            mx, my, ca, cb, cc, cr, cg, cbl, cd, op = p
-            alpha, G, dx, dy, raw = _alpha_at(p, px, py, k, counts)
-            contributes = trans > T_EPS
-            w = jnp.where(contributes, alpha * trans, 0.0)
-            pr += w * cr
-            pg += w * cg
-            pb += w * cbl
-            pd += w * cd
-            one_m = 1.0 - alpha
+            ps = _slot_params_block(tp_ref, k, tile_group)
+            grads_u = []
+            for u in range(UNROLL):
+                p = ps[u]
+                mx, my, ca, cb, cc, cr, cg, cbl, cd, op = p
+                alpha, G, dx, dy, raw = _alpha_at(p, px, py, k + u, counts)
+                contributes = trans > T_EPS
+                w = jnp.where(contributes, alpha * trans, 0.0)
+                pr += w * cr
+                pg += w * cg
+                pb += w * cbl
+                pd += w * cd
+                one_m = 1.0 - alpha
 
-            # suffix sums AFTER this slot
-            sr = tot_r - pr
-            sg = tot_g - pg
-            sb = tot_b - pb
-            sd = tot_d - pd
-            # dL/d alpha at each pixel
-            galpha = (
-                g_r * jnp.where(contributes, trans * cr - sr / one_m, 0.0)
-                + g_g * jnp.where(contributes, trans * cg - sg / one_m, 0.0)
-                + g_b * jnp.where(contributes, trans * cbl - sb / one_m, 0.0)
-                + g_d * jnp.where(contributes, trans * cd - sd / one_m, 0.0)
-                - g_t * trans_final / one_m
-            )
-            galpha = jnp.where(alpha > 0.0, galpha, 0.0)
+                # suffix sums AFTER this slot
+                sr = tot_r - pr
+                sg = tot_g - pg
+                sb = tot_b - pb
+                sd = tot_d - pd
+                # dL/d alpha at each pixel
+                galpha = (
+                    g_r * jnp.where(contributes, trans * cr - sr / one_m, 0.0)
+                    + g_g * jnp.where(contributes, trans * cg - sg / one_m, 0.0)
+                    + g_b * jnp.where(contributes, trans * cbl - sb / one_m, 0.0)
+                    + g_d * jnp.where(contributes, trans * cd - sd / one_m, 0.0)
+                    - g_t * trans_final / one_m
+                )
+                galpha = jnp.where(alpha > 0.0, galpha, 0.0)
 
-            unclamped = raw < ALPHA_MAX
-            d_op_px = jnp.where(unclamped, galpha * G, 0.0)
-            d_pow = jnp.where(unclamped, galpha * alpha, 0.0)
+                unclamped = raw < ALPHA_MAX
+                d_op_px = jnp.where(unclamped, galpha * G, 0.0)
+                d_pow = jnp.where(unclamped, galpha * alpha, 0.0)
 
-            d_mx = (d_pow * (ca * dx + cb * dy)).sum(axis=1)
-            d_my = (d_pow * (cc * dy + cb * dx)).sum(axis=1)
-            d_ca = (d_pow * (-0.5 * dx * dx)).sum(axis=1)
-            d_cb = (d_pow * (-dx * dy)).sum(axis=1)
-            d_cc = (d_pow * (-0.5 * dy * dy)).sum(axis=1)
-            d_cr = (g_r * w).sum(axis=1)
-            d_cg = (g_g * w).sum(axis=1)
-            d_cb2 = (g_b * w).sum(axis=1)
-            d_cd = (g_d * w).sum(axis=1)
-            d_op = d_op_px.sum(axis=1)
+                d_mx = (d_pow * (ca * dx + cb * dy)).sum(axis=1)
+                d_my = (d_pow * (cc * dy + cb * dx)).sum(axis=1)
+                d_ca = (d_pow * (-0.5 * dx * dx)).sum(axis=1)
+                d_cb = (d_pow * (-dx * dy)).sum(axis=1)
+                d_cc = (d_pow * (-0.5 * dy * dy)).sum(axis=1)
+                d_cr = (g_r * w).sum(axis=1)
+                d_cg = (g_g * w).sum(axis=1)
+                d_cb2 = (g_b * w).sum(axis=1)
+                d_cd = (g_d * w).sum(axis=1)
+                d_op = d_op_px.sum(axis=1)
 
-            grads = jnp.stack(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_cd, d_op],
-                axis=-1,
-            )  # (TG, NF)
-            dtp_ref[pl.ds(k, 1)] = grads[None]
-            trans = trans * one_m
-            return k + 1, trans, pr, pg, pb, pd
+                grads_u.append(
+                    jnp.stack(
+                        [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_cd, d_op],
+                        axis=-1,
+                    )  # (TG, NF)
+                )
+                trans = trans * one_m
+            dtp_ref[pl.ds(k, UNROLL)] = jnp.stack(grads_u, axis=0)
+            return k + UNROLL, trans, pr, pg, pb, pd
 
         zeros = jnp.zeros((tile_group, P), jnp.float32)
         jax.lax.while_loop(
@@ -213,7 +230,10 @@ def _make_bwd_kernel(tile_group: int, ntx: int, ts: int, K: int):
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "interpret")
 )
 def _blend_fwd_call(tp, counts, *, ntx, nty, tile_size, tile_group, interpret):
-    K, T, _ = tp.shape
+    K0, T, _ = tp.shape
+    K = -(-K0 // UNROLL) * UNROLL
+    if K != K0:
+        tp = jnp.pad(tp, ((0, K - K0), (0, 0), (0, 0)))
     ts = tile_size
     P = ts * ts
     TG = tile_group
@@ -243,7 +263,7 @@ def _blend_fwd_call(tp, counts, *, ntx, nty, tile_size, tile_group, interpret):
         ],
         interpret=interpret,
     )(counts[:, None].astype(jnp.int32), tp)
-    return acc[:T], trans[:T], nt[:T]
+    return acc[:T], trans[:T], nt[:T, :K0]
 
 
 @functools.partial(
@@ -251,7 +271,10 @@ def _blend_fwd_call(tp, counts, *, ntx, nty, tile_size, tile_group, interpret):
 )
 def _blend_bwd_call(tp, counts, acc, trans, dacc, dtrans, *, ntx, nty, tile_size,
                     tile_group, interpret):
-    K, T, _ = tp.shape
+    K0, T, _ = tp.shape
+    K = -(-K0 // UNROLL) * UNROLL
+    if K != K0:
+        tp = jnp.pad(tp, ((0, K - K0), (0, 0), (0, 0)))
     ts = tile_size
     P = ts * ts
     TG = tile_group
@@ -281,7 +304,7 @@ def _blend_bwd_call(tp, counts, acc, trans, dacc, dtrans, *, ntx, nty, tile_size
         out_shape=jax.ShapeDtypeStruct((K, T_pad, NF), jnp.float32),
         interpret=interpret,
     )(counts[:, None].astype(jnp.int32), tp, acc, trans, dacc, dtrans)
-    return dtp[:, :T]
+    return dtp[:K0, :T]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

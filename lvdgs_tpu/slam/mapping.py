@@ -24,7 +24,7 @@ from ..core import lie
 from ..core.camera import Intrinsics
 from ..core.losses import l1_loss, ssim, masked_mean, isotropic_reg
 from ..gaussian import model as gm
-from ..ops.rasterizer import RenderConfig, rasterize
+from ..ops.rasterizer import RenderConfig, prepare_bins, rasterize
 from .state import KeyframeBuffer, camera_from_slot
 
 
@@ -70,6 +70,14 @@ class MappingConfig:
     # the masked branch out avoids paying SSIM(+grad) under vmap's
     # cond->select for every camera every iteration
     use_masked_loss: bool = False
+    # tile binning is recomputed every `rebin_every` iterations with a
+    # `bin_margin`-pixel radius slack (pose/mean deltas per Adam step are
+    # sub-pixel; slot indices are stable across densify/prune, see
+    # gaussian/model.py::_alloc_destinations). Replay keyframes are
+    # resampled at the same cadence. `rebin_every=1` reproduces the
+    # reference's every-iteration behaviour exactly.
+    rebin_every: int = 10
+    bin_margin: float = 8.0
 
 
 class MappingResult(NamedTuple):
@@ -137,87 +145,119 @@ def mapping_run(
 
     bg = jnp.full((3,), 1.0 if rcfg.white_background else 0.0, jnp.float32)
 
-    def camera_losses(p, active, taus, abs_, vs, Rw, Tw, replay_slots, replay_w):
-        """Loss over Ws window cams + Nr replay cams; returns (loss, aux).
+    def _cam_loss(p, active, tau_i, ab_i, vs_i, slot, R_i, T_i, w_i, is_w, bins_i):
+        """Per-camera mapping loss (is_w is a static bool: window vs replay).
 
-        `active` must be the CARRIED activity mask (not the initial one) so
-        Gaussians densified mid-run render immediately."""
-        slots_all = jnp.concatenate([safe_slots, replay_slots])
-        R_all = jnp.concatenate([Rw, kfbuf.R[replay_slots]], 0)
-        T_all = jnp.concatenate([Tw, kfbuf.T[replay_slots]], 0)
-        tau_all = jnp.concatenate([taus, jnp.zeros((Nr, 6))], 0)
-        ab_all = jnp.concatenate([abs_, kfbuf.exposure_ab[replay_slots]], 0)
-        w_all = jnp.concatenate([window_valid.astype(jnp.float32), replay_w])
-        is_win = jnp.concatenate([jnp.ones(Ws, bool), jnp.zeros(Nr, bool)])
+        `bins_i` is the camera's tile assignment precomputed at the rebin
+        period start (stale by <= rebin_every-1 steps; safe because slot
+        indices are stable and pruned slots render at alpha=0)."""
+        cam = camera_from_slot(kfbuf, slot)
+        Rn, Tn = lie.apply_delta(R_i, T_i, tau_i)
+        out = rasterize(p, active, Rn, Tn, intr, rcfg, vs_offset=vs_i, bins=bins_i)
+        gt = cam.image
+        d = out.depth[0]
 
-        def per_cam(xs):
-            slot, R_i, T_i, tau_i, ab_i, vs_i, w_i, is_w = xs
-            cam = camera_from_slot(kfbuf, slot)
-            Rn, Tn = lie.apply_delta(R_i, T_i, tau_i)
-            out = rasterize(p, active, Rn, Tn, intr, rcfg, vs_offset=vs_i)
-            gt = cam.image
-            d = out.depth[0]
+        if mcfg.initialization:
+            # loss_mapping(initialization=True): no exposure, rgb+depth mix
+            mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(jnp.float32)
+            md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
+            loss = mcfg.alpha * jnp.abs(out.image * mr - gt * mr).mean() + (
+                1 - mcfg.alpha
+            ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+        else:
 
-            if mcfg.initialization:
-                # loss_mapping(initialization=True): no exposure, rgb+depth mix
-                mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(jnp.float32)
+            def masked_branch(_):
+                # reference utils/slam_backend.py:196-261 (no exposure)
+                static = cam.static_mask[None]
+                mi = jnp.where(static, out.image, bg[:, None, None])
+                mg = jnp.where(static, gt, bg[:, None, None])
+                ll1 = l1_loss(mi, mg)
+                loss = (1.0 - mcfg.lambda_dssim) * ll1 + mcfg.lambda_dssim * (
+                    1.0 - ssim(mi, mg)
+                )
+                dm = cam.static_mask & (cam.mono_depth > 0) & (d > 0)
+                dl = masked_mean(jnp.abs(d - cam.mono_depth), dm)
+                return loss + mcfg.depth_lambda * jnp.where(dm.any(), dl, 0.0)
+
+            def plain_branch(_):
+                # get_loss_mapping (exposure-compensated rgbd)
+                image_ab = jnp.exp(ab_i[0]) * out.image + ab_i[1]
+                mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(
+                    jnp.float32
+                )
                 md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
-                loss = mcfg.alpha * jnp.abs(out.image * mr - gt * mr).mean() + (
+                return mcfg.alpha * jnp.abs(image_ab * mr - gt * mr).mean() + (
                     1 - mcfg.alpha
                 ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+
+            if mcfg.use_masked_loss and is_w:
+                loss = jax.lax.cond(
+                    cam.has_static_mask, masked_branch, plain_branch, None
+                )
             else:
+                loss = plain_branch(None)
 
-                def masked_branch(_):
-                    # reference utils/slam_backend.py:196-261 (no exposure)
-                    static = cam.static_mask[None]
-                    mi = jnp.where(static, out.image, bg[:, None, None])
-                    mg = jnp.where(static, gt, bg[:, None, None])
-                    ll1 = l1_loss(mi, mg)
-                    loss = (1.0 - mcfg.lambda_dssim) * ll1 + mcfg.lambda_dssim * (
-                        1.0 - ssim(mi, mg)
-                    )
-                    dm = cam.static_mask & (cam.mono_depth > 0) & (d > 0)
-                    dl = masked_mean(jnp.abs(d - cam.mono_depth), dm)
-                    return loss + mcfg.depth_lambda * jnp.where(dm.any(), dl, 0.0)
+        aux = (out.visibility_filter, out.radii, out.n_touched)
+        return loss * w_i, aux
 
-                def plain_branch(_):
-                    # get_loss_mapping (exposure-compensated rgbd)
-                    image_ab = jnp.exp(ab_i[0]) * out.image + ab_i[1]
-                    mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(
-                        jnp.float32
-                    )
-                    md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)
-                    return mcfg.alpha * jnp.abs(image_ab * mr - gt * mr).mean() + (
-                        1 - mcfg.alpha
-                    ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
+    def camera_grads(p, active, abw, Rw, Tw, replay_slots, replay_w, bins):
+        """Statically-unrolled per-camera value_and_grad accumulation.
 
-                if mcfg.use_masked_loss:
-                    use_mask = cam.has_static_mask & is_w
-                    loss = jax.lax.cond(use_mask, masked_branch, plain_branch, None)
-                else:
-                    loss = plain_branch(None)
+        ~2.3x faster than vmapping the cameras on TPU (the vmapped
+        gather/scatter+Pallas backward batches poorly; unrolled, XLA
+        overlaps the per-camera programs — see PERFORMANCE.md). Returns
+        (loss, g_params, g_tau (Ws,6), g_ab (Ws,2), gvs_norm (Ncam,C),
+        aux stacked (Ncam,...))."""
+        zero6 = jnp.zeros((6,), jnp.float32)
+        g_params = {f: jnp.zeros_like(p[f]) for f in p}
+        g_tau, g_ab = [], []
+        gvs_norms, vis_l, radii_l, nt_l = [], [], [], []
+        total = jnp.zeros(())
+        for i in range(Ncam):
+            bins_i = jax.tree_util.tree_map(lambda b: b[i], bins)
+            vs0 = jnp.zeros((C, 2), jnp.float32)
+            if i < Ws:
+                (li, aux_i), (gp, gt_, ga, gv) = jax.value_and_grad(
+                    _cam_loss, argnums=(0, 2, 3, 4), has_aux=True
+                )(
+                    p, active, zero6, abw[i], vs0, safe_slots[i], Rw[i], Tw[i],
+                    window_valid[i].astype(jnp.float32), True, bins_i,
+                )
+                g_tau.append(gt_)
+                g_ab.append(ga)
+            else:
+                r = i - Ws
+                slot = replay_slots[r]
+                (li, aux_i), (gp, gv) = jax.value_and_grad(
+                    _cam_loss, argnums=(0, 4), has_aux=True
+                )(
+                    p, active, zero6, kfbuf.exposure_ab[slot], vs0, slot,
+                    kfbuf.R[slot], kfbuf.T[slot], replay_w[r], False, bins_i,
+                )
+            total = total + li
+            g_params = {f: g_params[f] + gp[f] for f in g_params}
+            gvs_norms.append(jnp.linalg.norm(gv, axis=-1))
+            vis_l.append(aux_i[0])
+            radii_l.append(aux_i[1])
+            nt_l.append(aux_i[2])
 
-            aux = (out.visibility_filter, out.radii, out.n_touched)
-            return loss * w_i, aux
-
-        import os as _os
-        if _os.environ.get("LVDGS_VMAP_CAMS", "1") == "1":
-            # vmap batches all cameras' binning top_k's and Pallas blend
-            # grids into single larger device ops (better occupancy than
-            # sequential per-camera dispatches)
-            losses, aux = jax.vmap(per_cam)(
-                (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
-            )
-        else:
-            losses, aux = jax.lax.map(
-                per_cam, (slots_all, R_all, T_all, tau_all, ab_all, vs, w_all, is_win)
-            )
-        total = losses.sum()
         # isotropic regulariser (reference utils/slam_backend.py:302-305)
-        total = total + mcfg.isotropic_weight * isotropic_reg(
-            jnp.exp(p["log_scales"]), active
+        iso, g_iso = jax.value_and_grad(
+            lambda ls: mcfg.isotropic_weight
+            * isotropic_reg(jnp.exp(ls), active)
+        )(p["log_scales"])
+        total = total + iso
+        g_params["log_scales"] = g_params["log_scales"] + g_iso
+
+        aux = (jnp.stack(vis_l), jnp.stack(radii_l), jnp.stack(nt_l))
+        return (
+            total,
+            g_params,
+            jnp.stack(g_tau),
+            jnp.stack(g_ab),
+            jnp.stack(gvs_norms),
+            aux,
         )
-        return total, aux
 
     class Carry(NamedTuple):
         gmap: gm.GaussianMap
@@ -235,43 +275,21 @@ def mapping_run(
         local_it: jax.Array
         loss: jax.Array
 
-    def body(_, c: Carry) -> Carry:
-        rng, k_r1, k_r2, k_densify = jax.random.split(c.rng, 4)
+    def iter_body(c: Carry, replay_slots, replay_w, bins) -> Carry:
+        rng, k_densify = jax.random.split(c.rng, 2)
         it_count = c.it_count + 1
         local_it = c.local_it + 1
 
-        # sample 2 distinct replay keyframes
-        r1 = jax.random.randint(k_r1, (), 0, jnp.maximum(n_elig, 1))
-        r2 = (r1 + 1 + jax.random.randint(k_r2, (), 0, jnp.maximum(n_elig - 1, 1))) % jnp.maximum(
-            n_elig, 1
-        )
-        replay_slots = jnp.stack([elig_order[r1], elig_order[r2]])[:Nr]
-        replay_w = jnp.stack(
-            [(n_elig > 0).astype(jnp.float32), (n_elig > 1).astype(jnp.float32)]
-        )[:Nr]
-        # reference map() is a no-op on an empty window
-        # (utils/slam_backend.py:154-155) — don't optimise replay-only
-        replay_w = replay_w * window_valid.any().astype(jnp.float32)
-        if mcfg.initialization:
-            replay_w = jnp.zeros_like(replay_w)
-
-        vs0 = jnp.zeros((Ncam, C, 2), jnp.float32)
-        taus0 = jnp.zeros((Ws, 6), jnp.float32)
-
-        (loss, aux), grads = jax.value_and_grad(
-            camera_losses, argnums=(0, 2, 3, 4), has_aux=True
-        )(
+        loss, g_params, g_tau, g_ab, gvs_norm, aux = camera_grads(
             c.gmap.params(),
             c.gmap.active,
-            taus0,
             c.abw,
-            vs0,
             c.Rw,
             c.Tw,
             replay_slots,
             replay_w,
+            bins,
         )
-        g_params, g_tau, g_ab, g_vs = grads
         vis_all, radii_all, n_touched_all = aux  # (Ncam, C)
 
         gmap = c.gmap
@@ -284,8 +302,7 @@ def mapping_run(
             max_radii2d=jnp.maximum(
                 gmap.max_radii2d, jnp.where(vis_b, radii_all, 0.0).max(axis=0)
             ),
-            grad_accum=gmap.grad_accum
-            + (jnp.linalg.norm(g_vs, axis=-1) * vis_b).sum(axis=0),
+            grad_accum=gmap.grad_accum + (gvs_norm * vis_b).sum(axis=0),
             grad_denom=gmap.grad_denom + vis_b.sum(axis=0).astype(jnp.float32),
         )
 
@@ -395,7 +412,49 @@ def mapping_run(
         local_it=jnp.asarray(local_it0, jnp.int32),
         loss=jnp.zeros(()),
     )
-    c = jax.lax.fori_loop(0, n_iters, body, init)
+
+    local_end = jnp.asarray(local_it0, jnp.int32) + jnp.asarray(n_iters, jnp.int32)
+
+    def period_body(c: Carry) -> Carry:
+        # --- per-period work (amortised over rebin_every iterations) ---
+        rng, k_r1, k_r2 = jax.random.split(c.rng, 3)
+        # sample 2 distinct replay keyframes (reference samples per
+        # iteration, utils/slam_backend.py:275; sampling per rebin period
+        # keeps the same stochastic-replay coverage at 1/rebin_every rate)
+        r1 = jax.random.randint(k_r1, (), 0, jnp.maximum(n_elig, 1))
+        r2 = (
+            r1 + 1 + jax.random.randint(k_r2, (), 0, jnp.maximum(n_elig - 1, 1))
+        ) % jnp.maximum(n_elig, 1)
+        replay_slots = jnp.stack([elig_order[r1], elig_order[r2]])[:Nr]
+        replay_w = jnp.stack(
+            [(n_elig > 0).astype(jnp.float32), (n_elig > 1).astype(jnp.float32)]
+        )[:Nr]
+        # reference map() is a no-op on an empty window
+        # (utils/slam_backend.py:154-155) — don't optimise replay-only
+        replay_w = replay_w * window_valid.any().astype(jnp.float32)
+        if mcfg.initialization:
+            replay_w = jnp.zeros_like(replay_w)
+
+        # bin all Ncam cameras once at the current poses with a pixel
+        # margin; reused for the whole period (same scheme as tracking)
+        p = c.gmap.params()
+        R_all = jnp.concatenate([c.Rw, kfbuf.R[replay_slots]], 0)
+        T_all = jnp.concatenate([c.Tw, kfbuf.T[replay_slots]], 0)
+        bins = jax.vmap(
+            lambda R_, t_: prepare_bins(
+                p, c.gmap.active, R_, t_, intr, rcfg, margin=mcfg.bin_margin
+            )
+        )(R_all, T_all)
+        c = c._replace(rng=rng)
+
+        stop_at = jnp.minimum(c.local_it + mcfg.rebin_every, local_end)
+        return jax.lax.while_loop(
+            lambda cc: cc.local_it < stop_at,
+            lambda cc: iter_body(cc, replay_slots, replay_w, bins),
+            c,
+        )
+
+    c = jax.lax.while_loop(lambda cc: cc.local_it < local_end, period_body, init)
 
     # write refined window poses/exposures back into the buffer
     kfbuf = kfbuf.replace(

@@ -130,6 +130,8 @@ class SLAM:
             size_threshold=tr.get("size_threshold", 20),
             monocular=self.monocular,
             use_masked_loss=masker is not None,
+            rebin_every=perf.get("rebin_every", 10),
+            bin_margin=perf.get("bin_margin", 8.0),
         )
         self.mcfg = MappingConfig(**common)
         self.mcfg_ba = MappingConfig(
@@ -148,6 +150,11 @@ class SLAM:
             alpha=tr.get("alpha", 0.95),
             rgb_boundary_threshold=tr.get("rgb_boundary_threshold", 0.01),
             monocular=self.monocular,
+            # init mapping is single-camera (rebinning is cheap) and the map
+            # changes fastest there — staleness costs reconstruction quality
+            # (~2.5 dB at rebin_every=10 on the synthetic drive scene)
+            rebin_every=perf.get("init_rebin_every", 2),
+            bin_margin=perf.get("bin_margin", 8.0),
         )
 
         # policy hyper-params

@@ -55,3 +55,50 @@ def test_hierarchical_render_matches():
     b = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, cfg_hier)
     np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.n_touched), np.asarray(b.n_touched))
+
+
+def _assert_margin_invariants(kw, hier_kw=None):
+    """Margin binning invariants on saturated tiles: (1) every slot a
+    zero-margin binning selects is kept (no eviction by margin-only
+    candidates); (2) slot lists stay depth-sorted."""
+    params, active = _scene(6000, seed=3)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active,
+        jnp.eye(3), jnp.zeros(3), INTR,
+    )
+    extra = hier_kw or {}
+    base_idx, base_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"], 0.0,
+        **kw, **extra,
+    )
+    m_idx, m_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"], 24.0,
+        **kw, **extra,
+    )
+    C = proj["mean2d"].shape[0]
+    depth = np.concatenate([np.asarray(proj["depth"]), [np.inf]])
+    base_idx = np.asarray(base_idx)
+    base_valid = np.asarray(base_valid)
+    m_idx = np.asarray(m_idx)
+    m_valid = np.asarray(m_valid)
+    assert base_valid.sum(1).max() == kw["max_per_tile"], "test needs saturation"
+    for t in range(base_idx.shape[0]):
+        real = set(base_idx[t][base_valid[t]].tolist())
+        got = set(m_idx[t][m_valid[t]].tolist())
+        assert real <= got, f"tile {t}: margin evicted {real - got}"
+        d = depth[m_idx[t][m_valid[t]]]
+        assert np.all(np.diff(d) >= 0), f"tile {t}: slots not depth-sorted"
+
+
+def test_margin_no_eviction_single_level():
+    _assert_margin_invariants(
+        dict(ntx=20, nty=15, tile_size=16, max_per_tile=64, tile_chunk=64),
+        dict(max_per_coarse=10**9),
+    )
+
+
+def test_margin_no_eviction_hierarchical():
+    _assert_margin_invariants(
+        dict(ntx=20, nty=15, tile_size=16, max_per_tile=64, tile_chunk=64),
+        dict(coarse_factor=4, max_per_coarse=4096),
+    )
