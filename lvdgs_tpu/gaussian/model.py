@@ -539,3 +539,49 @@ class MapOptimizer:
             new_m[f] = m
             new_v[f] = v
         return gmap.with_params(new_params), AdamState(m=new_m, v=new_v, count=count)
+
+
+def grow_capacity(
+    gmap: GaussianMap,
+    new_capacity: int,
+    opt_state: "AdamState | None" = None,
+):
+    """Grow the map's slot capacity (host-level, outside jit).
+
+    TPU-native counterpart of the reference's dynamic torch.cat growth
+    (reconstructed GaussianModel API, SURVEY.md §2.9): shapes are static per
+    compiled program, so the SLAM system starts with a small capacity and
+    re-pads all per-slot arrays when the map approaches saturation —
+    programs recompile once per capacity step (persistent-cached) and every
+    capacity-proportional cost (projection, Adam, coarse binning, gradient
+    scatters) tracks the live map size instead of a worst-case bound.
+
+    Existing slot indices are preserved (everything is appended), so stale
+    tile bins from a previous dispatch remain valid.
+    """
+    C = gmap.capacity
+    if new_capacity <= C:
+        return gmap if opt_state is None else (gmap, opt_state)
+    fresh = create_map(new_capacity)
+
+    def grown(old, init):
+        return jnp.concatenate([old, init[C:]], axis=0)
+
+    gmap = GaussianMap(
+        **{
+            f.name: grown(getattr(gmap, f.name), getattr(fresh, f.name))
+            for f in dataclasses.fields(GaussianMap)
+        }
+    )
+    if opt_state is None:
+        return gmap
+    pad = {
+        f: jnp.zeros((new_capacity - C,) + opt_state.m[f].shape[1:], jnp.float32)
+        for f in PARAM_FIELDS
+    }
+    opt_state = AdamState(
+        m={f: jnp.concatenate([opt_state.m[f], pad[f]], 0) for f in PARAM_FIELDS},
+        v={f: jnp.concatenate([opt_state.v[f], pad[f]], 0) for f in PARAM_FIELDS},
+        count=opt_state.count,
+    )
+    return gmap, opt_state

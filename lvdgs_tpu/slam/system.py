@@ -82,7 +82,11 @@ class SLAM:
             tile_chunk=perf.get("tile_chunk", 128),
             white_background=config.get("model_params", {}).get("white_background", False),
         )
-        capacity = perf.get("map_capacity", 2**17)
+        # the map starts small and grows by powers of two toward
+        # map_capacity as it fills (gm.grow_capacity) — every
+        # capacity-proportional cost then tracks the live map size
+        self.max_capacity = perf.get("map_capacity", 2**17)
+        capacity = min(perf.get("map_capacity_init", 2**14), self.max_capacity)
         kf_capacity = perf.get("kf_capacity", 512)
 
         self.monocular = tr.get("monocular", True)
@@ -255,6 +259,11 @@ class SLAM:
             self.iteration_count = res.iteration_count
             local_it += seg
             remaining -= seg
+            # densification may approach the capacity ceiling mid-run; grow
+            # between dispatch chunks so allocation never silently fails
+            if remaining > 0 and self.gmap.capacity < self.max_capacity:
+                if int(self.gmap.num_active) > 0.7 * self.gmap.capacity:
+                    self._grow_to(self.gmap.capacity * 2)
         return res
 
     def _record_frame(self, idx: int, cam: Camera) -> None:
@@ -374,8 +383,40 @@ class SLAM:
         depth = jnp.where(valid_rgb, fused, 0.0)
         return depth, cam
 
+    def _grow_to(self, target: int) -> None:
+        cap = self.gmap.capacity
+        Log(f"Growing map capacity {cap} -> {target}")
+        self.gmap, self.opt_state = gm.grow_capacity(
+            self.gmap, target, self.opt_state
+        )
+        # visibility masks are compared elementwise across keyframes; pad
+        # stored entries to the new capacity (growth appends slots, so old
+        # indices stay valid)
+        self.occ_visibility = {
+            k: jnp.concatenate([v, jnp.zeros((target - v.shape[0],), bool)])
+            if v.shape[0] < target
+            else v
+            for k, v in self.occ_visibility.items()
+        }
+
+    def _ensure_capacity(self, downsample: int) -> None:
+        """Grow the map (powers of two, up to map_capacity) when the next
+        seeding could approach saturation — keeps densification headroom
+        while all capacity-proportional work tracks the live map size."""
+        stride = max(1, int(round(np.sqrt(max(1, downsample)))))
+        cand = -(-self.intr.height // stride) * (-(-self.intr.width // stride))
+        need = int(self.gmap.num_active) + cand
+        cap = self.gmap.capacity
+        target = cap
+        while need > 0.7 * target and target < self.max_capacity:
+            target *= 2
+        target = min(target, self.max_capacity)
+        if target > cap:
+            self._grow_to(target)
+
     def _backend_init(self, idx: int, cam: Camera, depth) -> None:
         """Reference 'init' message handler (utils/slam_backend.py:514-528)."""
+        self._ensure_capacity(self.pcd_downsample_init)
         self.gmap, self.opt_state = gm.seed_from_depth(
             self.gmap,
             cam,
@@ -396,6 +437,7 @@ class SLAM:
     def _backend_keyframe(self, idx: int, depth) -> None:
         """Reference 'keyframe' message handler (utils/slam_backend.py:530-602)."""
         cam = self._cams[idx]
+        self._ensure_capacity(self.pcd_downsample)
         self.gmap, self.opt_state = gm.seed_from_depth(
             self.gmap,
             cam,

@@ -122,3 +122,47 @@ def test_position_lr_schedule():
                                   lr_delay_mult=0.01, max_steps=30000, spatial_scale=1.0))
     assert abs(lr0 - 0.0016) < 1e-7
     assert abs(lr_end - 0.00016) < 1e-7
+
+
+def test_grow_capacity_preserves_slots_and_optimizer():
+    """Growth appends slots: existing indices, params, Adam moments, and
+    rendering must be unchanged; new slots inert (inactive, opacity -10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lvdgs_tpu.gaussian import model as gm
+
+    rng = np.random.default_rng(0)
+    g = gm.create_map(128)
+    n = 40
+    g = g.replace(
+        means=g.means.at[:n].set(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)),
+        logit_opacities=g.logit_opacities.at[:n].set(1.0),
+        active=g.active.at[:n].set(True),
+        unique_kf_ids=g.unique_kf_ids.at[:n].set(3),
+    )
+    opt = gm.MapOptimizer()
+    s = opt.init(g)
+    s = s.replace(m={**s.m, "means": s.m["means"].at[:n].set(0.5)},
+                  count=jnp.asarray(7, jnp.int32))
+
+    g2, s2 = gm.grow_capacity(g, 512, s)
+    assert g2.capacity == 512
+    assert int(g2.num_active) == n
+    np.testing.assert_array_equal(np.asarray(g2.means[:128]), np.asarray(g.means))
+    np.testing.assert_array_equal(np.asarray(g2.active[128:]), False)
+    assert float(g2.logit_opacities[200]) == -10.0  # inert padding
+    assert int(g2.unique_kf_ids[300]) == -1
+    np.testing.assert_array_equal(np.asarray(s2.m["means"][:128]), np.asarray(s.m["means"]))
+    assert float(jnp.abs(s2.m["means"][128:]).max()) == 0.0
+    assert int(s2.count) == 7
+
+    # rendering unchanged: padded slots contribute nothing
+    from lvdgs_tpu.core.camera import Intrinsics
+    from lvdgs_tpu.ops.rasterizer import RenderConfig, rasterize
+
+    intr = Intrinsics(fx=60.0, fy=60.0, cx=32.0, cy=24.0, width=64, height=48)
+    cfg = RenderConfig(tile_size=16, max_per_tile=64, gaussian_chunk=16, tile_chunk=16)
+    a = rasterize(g.params(), g.active, jnp.eye(3), jnp.zeros(3) + jnp.array([0, 0, 4.0]), intr, cfg)
+    b = rasterize(g2.params(), g2.active, jnp.eye(3), jnp.zeros(3) + jnp.array([0, 0, 4.0]), intr, cfg)
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-6)
