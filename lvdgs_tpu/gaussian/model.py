@@ -585,3 +585,36 @@ def grow_capacity(
         count=opt_state.count,
     )
     return gmap, opt_state
+
+
+def compact_and_resize(
+    gmap: GaussianMap,
+    new_capacity: int,
+    opt_state: "AdamState | None" = None,
+):
+    """Compact active Gaussians to the slot prefix and resize capacity
+    (host-level, outside jit; the shrink counterpart of grow_capacity).
+
+    Returns (gmap, opt_state, take) where `take[j]` is the OLD slot that
+    new slot j came from — callers must re-index any slot-aligned arrays
+    they hold (e.g. per-keyframe visibility masks) with the same gather.
+    Requires num_active <= new_capacity (inactive slots are inert, so the
+    dropped tail carries no state).
+    """
+    order = jnp.argsort(~gmap.active, stable=True)  # active slots first
+    take = order[:new_capacity]
+
+    def g(arr):
+        return arr[take]
+
+    gmap = GaussianMap(
+        **{f.name: g(getattr(gmap, f.name)) for f in dataclasses.fields(GaussianMap)}
+    )
+    if opt_state is None:
+        return gmap, take
+    opt_state = AdamState(
+        m={f: opt_state.m[f][take] for f in PARAM_FIELDS},
+        v={f: opt_state.v[f][take] for f in PARAM_FIELDS},
+        count=opt_state.count,
+    )
+    return gmap, opt_state, take

@@ -399,6 +399,27 @@ class SLAM:
             for k, v in self.occ_visibility.items()
         }
 
+    def _maybe_shrink(self) -> None:
+        """Shrink capacity after big prunes (hysteresis: grow at 0.7
+        occupancy, shrink only when actives fit in 0.35 of half) so
+        capacity-proportional costs track the live map, not its high-water
+        mark. Re-indexes stored visibility masks with the compaction order."""
+        cap = self.gmap.capacity
+        n = int(self.gmap.num_active)
+        min_cap = min(2**14, self.max_capacity)
+        target = cap
+        while target > min_cap and n <= 0.35 * (target // 2):
+            target //= 2
+        if target >= cap:
+            return
+        Log(f"Shrinking map capacity {cap} -> {target} ({n} active)")
+        self.gmap, self.opt_state, take = gm.compact_and_resize(
+            self.gmap, target, self.opt_state
+        )
+        self.occ_visibility = {
+            k: v[take] for k, v in self.occ_visibility.items()
+        }
+
     def _ensure_capacity(self, downsample: int) -> None:
         """Grow the map (powers of two, up to map_capacity) when the next
         seeding could approach saturation — keeps densification headroom
@@ -479,6 +500,7 @@ class SLAM:
         self.initialized = bool(initialized)
         for i, kf_idx in enumerate(self.current_window):
             self.occ_visibility[kf_idx] = occ[i]
+        self._maybe_shrink()
         self._sync_backend()
 
     def _window_slots(self) -> jax.Array:
