@@ -23,4 +23,5 @@ def build_masker(config: dict):
         save_images=df.get("save_masked_images", False),
         grounding_dino_checkpoint=df.get("grounding_dino_checkpoint"),
         sam_checkpoint=df.get("sam_checkpoint"),
+        use_ground_segmentation=df.get("use_ground_segmentation", False),
     )

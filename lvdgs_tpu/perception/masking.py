@@ -106,7 +106,9 @@ class DynamicObjectMasker:
         grounding_dino_checkpoint: Optional[str] = None,
         sam_checkpoint: Optional[str] = None,
         temporal_window: int = 5,
+        use_ground_segmentation: bool = False,
     ):
+        self.use_ground_segmentation = use_ground_segmentation and cv2 is not None
         self.prompt_manager = ScenePromptManager(scene_type)
         self.use_sam = use_sam
         self.use_flow = use_flow and cv2 is not None
@@ -190,6 +192,15 @@ class DynamicObjectMasker:
 
         dynamic = self._temporal_consistency(dynamic)
         self._update_flow_state(img_u8)
+
+        if self.use_ground_segmentation:
+            # ground is always static; also trims vehicle-shadow bleed into
+            # the road (reference slam_frontend_0817.py:1779-1790)
+            try:
+                ground = segment_ground(img_u8)
+                dynamic = dynamic & ~ground
+            except Exception:
+                pass
 
         static = ~dynamic
         if self.save_images:
@@ -298,3 +309,199 @@ class DynamicObjectMasker:
             )
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# 0817-era stretch surface (reference utils/slam_frontend_0817.py, SURVEY.md
+# §2.5: ground segmentation, shadow repair, colorful class visualization,
+# HF-transformers GroundingDINO fallback)
+
+
+def segment_ground(img_u8: np.ndarray) -> np.ndarray:
+    """Traditional ground segmentation (reference slam_frontend_0817.py:
+    1388-1443 `_traditional_ground_segmentation`): in the lower 40% of the
+    image, combine low texture (Sobel gradient below the 30th percentile)
+    with color consistency around the region mean, clean up morphologically,
+    then extend upward along color-similar connected rows. Returns an
+    (H, W) bool ground mask."""
+    if cv2 is None:
+        h, w = img_u8.shape[:2]
+        out = np.zeros((h, w), bool)
+        out[int(h * 0.6):] = True
+        return out
+    h, w = img_u8.shape[:2]
+    gray = cv2.cvtColor(img_u8, cv2.COLOR_RGB2GRAY)
+    y0 = int(h * 0.6)
+    lower = img_u8[y0:].astype(np.float32)
+    lower_gray = gray[y0:]
+
+    blur = cv2.GaussianBlur(lower_gray, (15, 15), 0)
+    gx = cv2.Sobel(blur, cv2.CV_64F, 1, 0, ksize=3)
+    gy = cv2.Sobel(blur, cv2.CV_64F, 0, 1, ksize=3)
+    grad = np.sqrt(gx**2 + gy**2)
+    # <= + eps: on perfectly flat synthetic ground the 30th percentile is
+    # exactly 0 and a strict < would select nothing
+    smooth = grad <= np.percentile(grad, 30) + 1e-6
+
+    mean_color = lower.mean(axis=(0, 1))
+    cdist = np.linalg.norm(lower - mean_color, axis=2)
+    color_ok = cdist < cdist.std() * 1.5
+
+    combined = np.logical_and(smooth, color_ok).astype(np.uint8)
+    kernel = np.ones((5, 5), np.uint8)
+    combined = cv2.morphologyEx(combined, cv2.MORPH_CLOSE, kernel)
+    combined = cv2.morphologyEx(combined, cv2.MORPH_OPEN, kernel)
+
+    ground = np.zeros((h, w), np.uint8)
+    ground[y0:] = combined
+
+    # upward extension along color-similar rows (reference :1445-1478)
+    if combined.sum() > 0:
+        gp = img_u8[ground > 0].astype(np.float32)
+        mean_g = gp.mean(axis=0)
+        std_g = gp.std(axis=0) + 1e-6
+        for y in range(y0 - 1, max(int(h * 0.3), 0), -1):
+            row = img_u8[y].astype(np.float32)
+            similar = (np.abs(row - mean_g) < 2.0 * std_g).all(axis=-1)
+            below = ground[y + 1] > 0
+            dilated = cv2.dilate(
+                below.reshape(1, -1).astype(np.uint8), np.ones((1, 3), np.uint8)
+            ).reshape(-1) > 0
+            connected = np.logical_and(similar, dilated)
+            if not connected.any():
+                break
+            ground[y] = connected.astype(np.uint8)
+    return ground > 0
+
+
+def repair_ground_shadows(
+    img_u8: np.ndarray, vehicle_mask: np.ndarray, ground_mask: np.ndarray,
+    inpaint_radius: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Inpaint vehicle shadows on the ground (reference slam_frontend_0817.py:
+    1485-1514 `repair_ground_shadows`): dilate the vehicle∩ground region,
+    clip to ground, TELEA-inpaint. Returns (repaired_rgb_u8, shadow_mask)."""
+    shadow = np.logical_and(vehicle_mask, ground_mask)
+    if cv2 is None or not shadow.any():
+        return img_u8.copy(), shadow
+    expanded = cv2.dilate(shadow.astype(np.uint8), np.ones((7, 7), np.uint8)) > 0
+    final = np.logical_and(expanded, ground_mask)
+    try:
+        repaired = cv2.inpaint(
+            img_u8, (final * 255).astype(np.uint8), inpaint_radius, cv2.INPAINT_TELEA
+        )
+    except Exception:
+        repaired = img_u8.copy()
+        if ground_mask.any():
+            fill = img_u8[ground_mask & ~final].mean(axis=0)
+            repaired[final] = fill.astype(np.uint8)
+    return repaired, final
+
+
+class ColorfulSegmentationVisualizer:
+    """Per-class colored mask overlays (reference slam_frontend_0817.py:
+    65-140 `ColorfulSegmentationVisualizer`): warm colors for dynamic
+    classes, cool colors for static context, deterministic fallback hues
+    for unknown labels."""
+
+    DYNAMIC_COLORS = {
+        "person": (255, 0, 0), "pedestrian": (255, 0, 0), "human": (255, 0, 0),
+        "car": (255, 165, 0), "vehicle": (255, 165, 0),
+        "truck": (255, 255, 0), "bus": (255, 0, 255),
+        "bicycle": (255, 0, 128), "bike": (255, 0, 128),
+        "motorcycle": (128, 0, 255), "scooter": (255, 128, 0),
+        "skateboard": (255, 64, 0), "animal": (255, 96, 32),
+        "dog": (255, 96, 32), "cat": (255, 96, 32),
+    }
+    STATIC_COLORS = {
+        "building": (64, 128, 128), "wall": (96, 96, 96), "road": (64, 64, 64),
+        "tree": (0, 128, 0), "vegetation": (0, 128, 0),
+        "pole": (0, 96, 160), "traffic light": (0, 160, 160),
+        "sign": (0, 128, 192), "fence": (80, 112, 96), "bench": (96, 128, 160),
+    }
+
+    def color_for(self, label: str, dynamic: bool) -> Tuple[int, int, int]:
+        label = label.lower().strip()
+        table = self.DYNAMIC_COLORS if dynamic else self.STATIC_COLORS
+        for key, c in table.items():
+            if key in label:
+                return c
+        # deterministic fallback hue per label
+        hval = abs(hash(label)) % 360
+        base = 255 if dynamic else 160
+        return (
+            int(base * (0.5 + 0.5 * np.cos(np.radians(hval)))),
+            int(base * (0.5 + 0.5 * np.cos(np.radians(hval + 120)))),
+            int(base * (0.5 + 0.5 * np.cos(np.radians(hval + 240)))),
+        )
+
+    def render(
+        self,
+        img_u8: np.ndarray,
+        masks: List[np.ndarray],
+        labels: List[str],
+        dynamic_flags: List[bool],
+        alpha: float = 0.45,
+    ) -> np.ndarray:
+        """Overlay per-instance masks in class colors; returns RGB uint8."""
+        out = img_u8.astype(np.float32).copy()
+        for m, lbl, dyn in zip(masks, labels, dynamic_flags):
+            color = np.array(self.color_for(lbl, dyn), np.float32)
+            mm = m.astype(bool)
+            out[mm] = (1 - alpha) * out[mm] + alpha * color
+        return out.clip(0, 255).astype(np.uint8)
+
+
+class HFGroundingDINODetector:
+    """GroundingDINO through HuggingFace `transformers` — the reference's
+    fallback when the native package/.pth is unavailable
+    (slam_frontend_0817.py:12-63, 955-975 `_load_hf_grounding_dino`).
+
+    Zero-egress environments need the model cached locally
+    (`HF_HOME`/`model_id` path); construction degrades gracefully."""
+
+    def __init__(self, model_id: str = "IDEA-Research/grounding-dino-tiny",
+                 box_threshold: float = 0.35, text_threshold: float = 0.25):
+        self.ok = False
+        self.box_threshold = box_threshold
+        self.text_threshold = text_threshold
+        try:
+            # hub lookups still probe the network even with
+            # local_files_only=True (minutes of DNS retries in zero-egress
+            # environments) — force offline mode up front
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
+            os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            from transformers import (AutoModelForZeroShotObjectDetection,
+                                      AutoProcessor)
+
+            self.processor = AutoProcessor.from_pretrained(
+                model_id, local_files_only=True
+            )
+            self.model = AutoModelForZeroShotObjectDetection.from_pretrained(
+                model_id, local_files_only=True
+            )
+            self.model.eval()
+            self.ok = True
+        except Exception:
+            self.processor = self.model = None
+
+    def __call__(self, img_u8: np.ndarray, prompt: str):
+        """-> (boxes_xyxy (N, 4), scores (N,)) or empty arrays."""
+        if not self.ok:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+        import torch
+
+        inputs = self.processor(images=img_u8, text=prompt, return_tensors="pt")
+        with torch.no_grad():
+            outputs = self.model(**inputs)
+        res = self.processor.post_process_grounded_object_detection(
+            outputs,
+            inputs["input_ids"],
+            threshold=self.box_threshold,
+            text_threshold=self.text_threshold,
+            target_sizes=[img_u8.shape[:2]],
+        )[0]
+        return (
+            res["boxes"].numpy().astype(np.float32),
+            res["scores"].numpy().astype(np.float32),
+        )

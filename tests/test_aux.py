@@ -97,3 +97,56 @@ def test_checkpoint_roundtrip(tmp_path):
     out = load_checkpoint(path)
     np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(5))
     assert int(out["b"]["d"]) == 3
+
+
+def test_ground_segmentation_and_shadow_repair():
+    """0817-era stretch surface (reference slam_frontend_0817.py:1388-1514):
+    traditional ground segmentation, shadow inpainting, colored overlays."""
+    import numpy as np
+    from lvdgs_tpu.perception.masking import (
+        ColorfulSegmentationVisualizer,
+        repair_ground_shadows,
+        segment_ground,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8)
+    img[40:, :] = [100, 95, 90]  # flat road
+    g = segment_ground(img)
+    assert g.shape == (60, 80)
+    assert g[50:].mean() > 0.5 and g[:30].mean() < 0.2
+
+    veh = np.zeros((60, 80), bool)
+    veh[42:54, 20:40] = True
+    repaired, shadow = repair_ground_shadows(img, veh, g)
+    assert repaired.shape == img.shape and shadow.any()
+    assert not np.logical_and(shadow, ~g).any()  # shadow stays on ground
+
+    viz = ColorfulSegmentationVisualizer()
+    out = viz.render(img, [veh], ["car"], [True])
+    assert out.shape == img.shape and (out[veh] != img[veh]).any()
+    # deterministic class colors: warm for dynamic person, defined static
+    assert viz.color_for("a person walking", True) == (255, 0, 0)
+    assert viz.color_for("building", False) == (64, 128, 128)
+
+
+def test_masker_ground_option_forces_ground_static():
+    import numpy as np
+    from lvdgs_tpu.perception.masking import DynamicObjectMasker
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8)
+    img[40:, :] = [100, 95, 90]
+
+    def fake_detector(img_u8, prompt):
+        # one box covering the lower half (overlapping ground)
+        return np.array([[10.0, 30.0, 70.0, 59.0]]), np.array([0.9])
+
+    m = DynamicObjectMasker(
+        detector=fake_detector, use_flow=False, use_ground_segmentation=True
+    )
+    static = m.get_static_mask_for_gaussian_init(img, frame_idx=0)
+    m2 = DynamicObjectMasker(detector=fake_detector, use_flow=False)
+    static2 = m2.get_static_mask_for_gaussian_init(img, frame_idx=0)
+    # ground option must reclaim road pixels inside the detection box
+    assert static[55:].mean() > static2[55:].mean()
