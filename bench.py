@@ -2,9 +2,19 @@
 """Benchmark: full SLAM loop at KITTI resolution on real hardware.
 
 Runs the synthetic dataset at the KITTI camera geometry (1226x370) through
-the complete tracking + mapping pipeline with reference iteration budgets
-(tracking<=100, mapping 150/KF, init mapping) and reports end-to-end
-frames/sec, excluding compilation (one warmup frame re-run).
+the complete tracking + mapping pipeline with the reference's DEFAULT
+iteration budgets (configs/mono/KITTI/base_config.yaml: single_thread False
+-> tracking<=100, 10-iteration keyframe mapping + continuous idle mapping,
+1050-iter init, 150-iter pre-initialization keyframes, 300-iter initial BA)
+and reports steady-state frames/sec.
+
+The reference system only reaches its steady state once the keyframe window
+is full (8 keyframes, ~frame 40 at kf_interval 5); before that every
+keyframe costs the 150-iteration pre-init budget. To measure the phase that
+dominates a real multi-thousand-frame KITTI run, the bench builds that warm
+state ONCE (frames 0..WARM-1), caches it via the framework's checkpoint
+subsystem (results/bench_state), and times the post-initialization frames.
+A stale or missing cache is rebuilt automatically.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -13,6 +23,7 @@ vs_baseline compares keyframes/sec against the reference's 3 keyframes/sec
 frontend pacing cap (reference utils/slam_frontend.py:1881-1885; the only
 citable reference throughput number — see BASELINE.md).
 """
+import hashlib
 import json
 import os
 import sys
@@ -25,15 +36,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
+# bump when SLAM state semantics change enough to invalidate cached states
+BENCH_STATE_VERSION = 2
+WARM_FRAMES = 44  # frames 0..43 build the initialized steady state
+TIMED_FRAMES = 12  # frames timed after one untimed resume frame
+TOTAL_FRAMES = WARM_FRAMES + 1 + TIMED_FRAMES
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_config(n_frames: int):
+def build_config():
     """The bench scenario config: synthetic scene at KITTI-07 geometry with
-    reference iteration budgets. Shared with tools/perf_mapping.py so
-    profiling hits the same compile cache entries."""
+    the reference's default (threaded-mode) iteration budgets. Shared with
+    tools/perf_*.py so profiling hits the same compile cache entries."""
     from lvdgs_tpu.core.config import load_config
 
     cfg_path = os.path.join(
@@ -47,7 +64,7 @@ def build_config(n_frames: int):
     # KITTI-07 camera geometry (reference configs/mono/KITTI/07.yaml)
     config["Dataset"].update(
         {
-            "n_frames": n_frames + 1,
+            "n_frames": TOTAL_FRAMES,
             "n_gaussians": 8000,
             "spread": 10.0,
             "Calibration": {
@@ -66,9 +83,13 @@ def build_config(n_frames: int):
         {
             "tracking_itr_num": 100,
             "mapping_itr_num": 150,
+            "mapping_itr_nosingle": 10,
             "init_itr_num": 1050,
             "kf_interval": 5,
             "window_size": 8,
+            # the reference's default mode (KITTI base_config.yaml:48):
+            # backend maps concurrently, 10 iters per keyframe + idle mapping
+            "single_thread": False,
         }
     )
     config["Performance"] = {
@@ -85,47 +106,98 @@ def build_config(n_frames: int):
     return config
 
 
-def main():
-    import jax
+def state_key(config) -> str:
+    """Hash of everything that affects the cached warm state's validity."""
+    payload = json.dumps(
+        {
+            "v": BENCH_STATE_VERSION,
+            "warm": WARM_FRAMES,
+            "dataset": config["Dataset"],
+            "training": config["Training"],
+            "perf": config["Performance"],
+        },
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+
+def make_slam(config):
     from lvdgs_tpu.slam.system import SLAM
-
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
-    config = build_config(n_frames)
-
-    dev = jax.devices()[0]
-    log(f"bench device: {dev} ({dev.platform})")
 
     slam = SLAM(config, save_dir=None)
     slam.save_results = False
     slam.do_eval_rendering = False
     slam.do_color_refinement = False
+    return slam
 
-    # warmup until the first post-init keyframe has been mapped, so every
-    # program (init mapping, tracking, windowed mapping, prune) is compiled
-    # before the timed region
-    t0 = time.perf_counter()
-    idx = 0
-    while idx <= n_frames and len(slam.kf_indices) < 2:
-        slam.process_frame(idx)
-        idx += 1
-    warm = time.perf_counter() - t0
-    log(f"warmup ({idx} frames incl. all compiles): {warm:.1f}s")
 
-    start_idx = idx
+def main():
+    import jax
+
+    config = build_config()
+    dev = jax.devices()[0]
+    log(f"bench device: {dev} ({dev.platform})")
+
+    state_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "bench_state"
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    ck_path = os.path.join(state_dir, "state.npz")
+    meta_path = os.path.join(state_dir, "meta.json")
+    key = state_key(config)
+
+    slam = None
+    meta = None
+    if os.path.exists(ck_path) and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except Exception:
+            meta = None
+    if meta is not None and meta.get("key") == key:
+        log("loading cached warm state")
+        try:
+            slam = make_slam(config)
+            slam.load_state(ck_path)
+        except Exception as e:  # stale/corrupt cache -> rebuild
+            log(f"cache load failed ({e}); rebuilding")
+            slam = None
+    if slam is None or slam.frames_processed != WARM_FRAMES:
+        log(
+            f"building warm state: {WARM_FRAMES} frames through "
+            "initialization (one-off; cached for future runs)"
+        )
+        slam = make_slam(config)
+        t0 = time.perf_counter()
+        for idx in range(WARM_FRAMES):
+            slam.process_frame(idx)
+        log(f"warm build: {time.perf_counter() - t0:.1f}s; "
+            f"initialized={slam.initialized}")
+        slam.save_state(ck_path)
+        with open(meta_path, "w") as f:
+            json.dump({"key": key, "frames": WARM_FRAMES}, f)
+
+    # one untimed resume frame re-triggers every compile (cache-warm)
     t0 = time.perf_counter()
-    for idx in range(start_idx, n_frames + 1):
+    slam.process_frame(WARM_FRAMES)
+    log(f"resume frame (incl. compile-cache loads): {time.perf_counter() - t0:.1f}s")
+
+    start_idx = WARM_FRAMES + 1
+    kf_before = len(slam.kf_indices)
+    t0 = time.perf_counter()
+    for idx in range(start_idx, TOTAL_FRAMES):
         slam.process_frame(idx)
     # force completion: fetch a scalar (block_until_ready does not sync
     # through the TPU relay)
     float(slam.gmap.means[0, 0])
     wall = time.perf_counter() - t0
-    frames = n_frames + 1 - start_idx
+    frames = TOTAL_FRAMES - start_idx
     fps = frames / wall
-    kfps = max(len(slam.kf_indices) - 1, 0) / wall
+    kfps = (len(slam.kf_indices) - kf_before) / wall
     log(
-        f"{frames} frames in {wall:.2f}s -> {fps:.3f} fps, "
-        f"{len(slam.kf_indices)} keyframes ({kfps:.3f} kf/s), "
+        f"{frames} steady-state frames in {wall:.2f}s -> {fps:.3f} fps, "
+        f"{len(slam.kf_indices) - kf_before} new keyframes ({kfps:.3f} kf/s), "
         f"{int(slam.gmap.num_active)} gaussians"
     )
     log(f"timers: {slam.timer.summary()}")

@@ -208,6 +208,7 @@ class SLAM:
 
         # mutable state
         self.last_sent = 0  # idle-mapping counter (threaded-mode parity)
+        self.idle_debt = 0  # accrued idle iterations, flushed in bursts
         self.frames: Dict[int, dict] = {}
         self.kf_indices: List[int] = []
         self.kf_slots: Dict[int, int] = {}
@@ -482,6 +483,10 @@ class SLAM:
             iter_per_kf = (
                 self.mapping_itr_num if self.single_thread else self.mapping_itr_nosingle
             )
+        # fold accrued idle iterations into this run (threaded-mode budget
+        # the reference backend would have spent while the frontend tracked)
+        iter_per_kf += self.idle_debt
+        self.idle_debt = 0
 
         window_slots = self._window_slots()
         self._run_mapping(window_slots, iter_per_kf, mcfg)
@@ -627,12 +632,19 @@ class SLAM:
         elif not self.single_thread and self.current_window:
             # threaded-mode parity: the reference backend keeps mapping while
             # idle — 1 iteration per loop, plus a 10-iteration prune+sync
-            # batch every 10 sends (utils/slam_backend.py:495-501)
+            # batch every 10 sends (utils/slam_backend.py:495-501). The
+            # 1-iteration runs are accrued as debt and flushed in one burst:
+            # same iteration budget, but binning/dispatch overheads amortise
+            # over the burst instead of being paid per frame (a 1-iteration
+            # dispatch is ~70% overhead, see PERFORMANCE.md cost model).
             self.timer.tic("idle_mapping")
-            self._run_mapping(self._window_slots(), 1, self.mcfg)
+            self.idle_debt += 1
             self.last_sent += 1
             if self.last_sent >= 10:
-                self._run_mapping(self._window_slots(), 10, self.mcfg)
+                self._run_mapping(
+                    self._window_slots(), 10 + self.idle_debt, self.mcfg
+                )
+                self.idle_debt = 0
                 self.gmap, occ, initialized = covisibility_prune(
                     self.gmap,
                     self.kfbuf,

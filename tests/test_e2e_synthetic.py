@@ -103,3 +103,26 @@ def test_global_ba_runs(tmp_path):
     res = slam.run(progress=False)
     import numpy as np
     assert np.isfinite(res["ate_rmse"])
+
+
+def test_threaded_mode_idle_mapping(tmp_path):
+    """Reference-default mode (single_thread False): keyframes map with
+    mapping_itr_nosingle iterations and idle frames accrue mapping debt
+    that is flushed in bursts (reference utils/slam_backend.py:495-501)."""
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 12
+    config["Training"]["init_itr_num"] = 150
+    config["Training"]["mapping_itr_num"] = 15
+    config["Training"]["mapping_itr_nosingle"] = 5
+    config["Training"]["tracking_itr_num"] = 15
+    config["Training"]["single_thread"] = False
+    config["Results"]["color_refinement"] = False
+    config["Results"]["eval_rendering"] = False
+    slam = SLAM(config, save_dir=str(tmp_path))
+    res = slam.run(progress=False)
+    import numpy as np
+
+    assert res["n_frames"] == 12
+    assert np.isfinite(res["ate_rmse"])
+    # all accrued idle iterations were folded into mapping runs
+    assert slam.idle_debt == 0 or slam.last_sent < 10

@@ -24,7 +24,7 @@ from lvdgs_tpu.slam.mapping import mapping_run
 
 
 def main():
-    config = build_config(16)
+    config = build_config()
     slam = SLAM(config, save_dir=None)
     slam.save_results = False
     slam.do_eval_rendering = False
