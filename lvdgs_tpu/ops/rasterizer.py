@@ -72,6 +72,18 @@ class RenderConfig:
     # ~0.95 recall of the front-most candidates, large speedup over sort
     use_approx_topk: bool = True
     approx_recall: float = 0.95
+    # packed (group-CSR) slot lists: chunks of KC slots allocated per tile
+    # group, sized by the group's deepest tile under a static budget of
+    # `slot_budget_per_tile` slots/tile (waterfill cap when it binds). Cuts
+    # the row-serialized gather/scatter plumbing ~2x at typical density
+    # (avg tile holds ~K/4 Gaussians) with bitwise-identical blending
+    # whenever the budget does not bind. Requires use_pallas. Off by
+    # default: at steady-state SLAM density the 128/tile budget binds and
+    # costs ~2 dB of render PSNR (tools/perf_steady.py) — opt in per path
+    # after validating quality (tracking tolerates it, see
+    # tools/perf_track_quality.py).
+    use_packed: bool = False
+    slot_budget_per_tile: int = 128
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -398,6 +410,144 @@ def bin_gaussians(
     return tile_idx, slot_valid
 
 
+class PackedBins(NamedTuple):
+    """Group-CSR tile assignment (see RenderConfig.use_packed).
+
+    gid: (NB, KC, TG) int32 gaussian ids per (chunk, slot, tile-in-group),
+         C = empty (renders at alpha 0 through the sentinel field row).
+    cg:  (NB,) int32 tile-group of each chunk (n_groups = padding sentinel).
+    k0:  (NB,) int32 slot offset of the chunk within its group's lists.
+    """
+
+    gid: jax.Array
+    cg: jax.Array
+    k0: jax.Array
+
+
+def pack_bins(
+    tile_idx: jax.Array,  # (T, K) int32, C = empty
+    slot_valid: jax.Array,  # (T, K) bool
+    C: int,
+    *,
+    tile_group: int,
+    slot_budget_per_tile: int,
+) -> PackedBins:
+    """Pack dense (T, K) slot lists into ragged per-group chunk lists.
+
+    Each tile group (TG consecutive tiles) gets ceil(kmax_g / KC) chunks
+    where kmax_g is its deepest tile's count, capped by a waterfill
+    threshold chosen so the total chunk count fits the static budget
+    NB = T_pad * slot_budget_per_tile / (KC * TG). When the budget does not
+    bind (the typical case: budget 128/tile vs ~70 average occupancy,
+    tools/perf_saturation.py) the packed lists hold exactly the same slots
+    in the same depth order as the dense layout."""
+    from .rasterizer_pallas import KC
+
+    T, K = tile_idx.shape
+    TG = tile_group
+    G = -(-T // TG)
+    T_pad = G * TG
+    assert slot_budget_per_tile >= KC, "budget must cover one chunk per group"
+    NB = (T_pad * slot_budget_per_tile) // (KC * TG)
+
+    counts = slot_valid.sum(axis=1).astype(jnp.int32)
+    if T_pad != T:
+        counts = jnp.pad(counts, (0, T_pad - T))
+        tile_idx = jnp.pad(tile_idx, ((0, T_pad - T), (0, 0)), constant_values=C)
+    gmax = counts.reshape(G, TG).max(axis=1)
+
+    def nchunks(theta):
+        return jnp.maximum(-(-jnp.minimum(gmax, theta) // KC), 1)
+
+    # waterfill: largest per-tile depth cap theta whose chunk total fits NB
+    lo, hi = jnp.int32(KC), jnp.int32(K)
+
+    def wf_body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi + 1) // 2
+        ok = nchunks(mid).sum() <= NB
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    n_iter = max(int(math.ceil(math.log2(max(K - KC, 1) + 1))), 1)
+    lo, hi = jax.lax.fori_loop(0, n_iter, wf_body, (lo, hi))
+    theta = lo
+
+    kalloc = jnp.minimum(counts, theta)  # (T_pad,)
+    nch = nchunks(theta)  # (G,)
+    cum = jnp.cumsum(nch)
+    start_g = cum - nch
+    bids = jnp.arange(NB, dtype=jnp.int32)
+    cg = jnp.searchsorted(cum, bids, side="right").astype(jnp.int32)  # G = pad
+    safe_g = jnp.minimum(cg, G - 1)
+    k0 = jnp.where(cg < G, (bids - start_g[safe_g]) * KC, KC)
+
+    t_of = safe_g[:, None] * TG + jnp.arange(TG, dtype=jnp.int32)[None, :]  # (NB, TG)
+    k_of = k0[:, None] + jnp.arange(KC, dtype=jnp.int32)[None, :]  # (NB, KC)
+    valid = (cg < G)[:, None, None] & (
+        k_of[:, :, None] < kalloc[t_of][:, None, :]
+    )  # (NB, KC, TG)
+    gid = jnp.where(
+        valid,
+        tile_idx[t_of[:, None, :], jnp.minimum(k_of, K - 1)[:, :, None]],
+        C,
+    )
+    return PackedBins(gid=gid, cg=cg, k0=k0)
+
+
+def _blend_pallas_packed(
+    pbins: PackedBins,
+    mean2d: jax.Array,
+    conic: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    depth: jax.Array,
+    bg: jax.Array,
+    *,
+    ntx: int,
+    nty: int,
+    tile_size: int,
+    tile_group: int,
+):
+    """Packed-kernel blending path: gathers only the budgeted slots
+    (differentiable — its transpose is the per-Gaussian scatter-add) and
+    feeds chunked (KC, TG, NF) blocks to the scalar-prefetch-mapped kernel."""
+    from .rasterizer_pallas import pallas_blend_packed
+
+    C = mean2d.shape[0]
+    T = ntx * nty
+    TG = tile_group
+    n_groups = -(-T // TG)
+    P = tile_size * tile_size
+    pad = lambda arr: jnp.concatenate(
+        [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], 0
+    )
+    fields = jnp.concatenate(
+        [
+            pad(mean2d),
+            pad(conic),
+            pad(colors),
+            pad(depth[:, None]),
+            pad(opacities[:, None]),
+        ],
+        axis=1,
+    )  # (C+1, 10); sentinel row renders at alpha 0
+    tp = fields[pbins.gid]  # (NB, KC, TG, 10)
+
+    interpret = jax.default_backend() == "cpu"
+    acc, trans, nt = pallas_blend_packed(
+        tp, pbins.cg, pbins.k0, ntx, nty, tile_size, TG, n_groups, interpret
+    )
+    acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[:T]
+    trans_t = trans[:n_groups].reshape(n_groups * TG, P)[:T]
+    img = acc_t[:, :3, :].transpose(0, 2, 1) + trans_t[..., None] * bg[None, None, :]
+    depth_t = acc_t[:, 3, :]
+    alpha_t = 1.0 - trans_t
+    n_touched = jnp.zeros((C,), jnp.int32).at[pbins.gid.reshape(-1)].add(
+        nt.reshape(-1), mode="drop"
+    )
+    return img, depth_t, alpha_t, n_touched
+
+
 def _blend(
     tile_idx: jax.Array,  # (T, K) int32, C = empty
     slot_valid: jax.Array,  # (T, K)
@@ -585,7 +735,7 @@ def prepare_bins(
     proj = project_gaussians(
         params["means"], params["quats"], params["log_scales"], active, R, t, intr
     )
-    return bin_gaussians(
+    bins = bin_gaussians(
         jax.lax.stop_gradient(proj["mean2d"]),
         jax.lax.stop_gradient(proj["radius"]),
         jax.lax.stop_gradient(proj["depth"]),
@@ -601,6 +751,15 @@ def prepare_bins(
         use_approx_topk=cfg.use_approx_topk,
         approx_recall=cfg.approx_recall,
     )
+    if cfg.use_pallas and cfg.use_packed:
+        return pack_bins(
+            bins[0],
+            bins[1],
+            params["means"].shape[0],
+            tile_group=cfg.tile_group,
+            slot_budget_per_tile=cfg.slot_budget_per_tile,
+        )
+    return bins
 
 
 def rasterize(
@@ -637,6 +796,7 @@ def rasterize(
     # never resurrect an inactive slot
     opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
 
+    packed = None
     if bins is None:
         tile_idx, slot_valid = bin_gaussians(
             jax.lax.stop_gradient(mean2d),
@@ -653,6 +813,16 @@ def rasterize(
             use_approx_topk=cfg.use_approx_topk,
             approx_recall=cfg.approx_recall,
         )
+        if cfg.use_pallas and cfg.use_packed:
+            packed = pack_bins(
+                tile_idx,
+                slot_valid,
+                params["means"].shape[0],
+                tile_group=cfg.tile_group,
+                slot_budget_per_tile=cfg.slot_budget_per_tile,
+            )
+    elif isinstance(bins, PackedBins):
+        packed = bins
     else:
         tile_idx, slot_valid = bins
 
@@ -661,7 +831,21 @@ def rasterize(
         if cfg.white_background
         else jnp.zeros((3,), jnp.float32)
     )
-    if cfg.use_pallas:
+    if packed is not None:
+        img_t, depth_t, alpha_t, n_touched = _blend_pallas_packed(
+            packed,
+            mean2d,
+            proj["conic"],
+            colors,
+            opac,
+            proj["depth"],
+            bg,
+            ntx=ntx,
+            nty=nty,
+            tile_size=cfg.tile_size,
+            tile_group=cfg.tile_group,
+        )
+    elif cfg.use_pallas:
         img_t, depth_t, alpha_t, n_touched = _blend_pallas(
             tile_idx,
             slot_valid,

@@ -343,3 +343,297 @@ def _pb_bwd(ntx, nty, tile_size, tile_group, interpret, res, cot):
 
 
 pallas_blend.defvjp(_pb_fwd, _pb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed (group-CSR) blending: ragged per-tile-group chunk lists
+# ---------------------------------------------------------------------------
+#
+# The dense layout above evaluates/gathers/scatters a full (T, K) slot grid
+# even though the average tile holds ~K/4 Gaussians (tools/perf_saturation.py)
+# and XLA's gather/scatter are row-serialized (~15-25 ns/row,
+# tools/perf_resident.py). The packed layout allocates chunks of KC slots per
+# TILE GROUP, sized by each group's deepest tile (waterfill-capped by a static
+# slot budget, rasterizer.pack_bins), and drives the kernels over a flat chunk
+# grid with scalar-prefetched (group, k-offset) maps. Plumbing rows shrink to
+# the slot budget (~2x) while the blended slot set stays bitwise-identical
+# whenever the budget does not bind.
+#
+# Chunk c of group g covers slots [k0, k0+KC) of the group's TG tiles.
+# Invalid slots carry the sentinel row C whose opacity is 0 (alpha=0), so no
+# per-slot count masking is needed. acc/trans output blocks are revisited
+# across a group's consecutive chunks (init at k0==0); the backward carries
+# its transmittance/prefix state in VMEM scratch the same way.
+
+KC = 32  # slots per chunk (static unroll inside the kernel)
+
+
+def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
+    P = ts * ts
+
+    def kernel(cg_ref, k0_ref, tp_ref, acc_ref, trans_ref, nt_ref):
+        b = pl.program_id(0)
+        g = cg_ref[b]
+        k0 = k0_ref[b]
+        nt_ref[:] = jnp.zeros_like(nt_ref)
+
+        @pl.when(k0 == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            trans_ref[:] = jnp.ones_like(trans_ref)
+
+        trans0 = trans_ref[0]  # (TG, P)
+
+        @pl.when(jnp.max(trans0) > T_EPS)
+        def _():
+            px, py = _pixel_coords(g, tile_group, ntx, ts)
+            trans = trans0
+            ar = acc_ref[0, 0]
+            ag = acc_ref[0, 1]
+            ab = acc_ref[0, 2]
+            ad = acc_ref[0, 3]
+            for kc in range(KC):
+                p = tp_ref[0, kc]  # (TG, NF)
+                fl = [p[:, i : i + 1] for i in range(NF)]
+                mx, my, ca, cb, cc, cr, cgc, cbl, cd, op = fl
+                dx = px - mx
+                dy = py - my
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                raw = op * jnp.exp(power)
+                ok = (power <= 0.0) & (raw >= ALPHA_MIN)
+                alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
+                w = jnp.where(trans > T_EPS, alpha * trans, 0.0)
+                ar += w * cr
+                ag += w * cgc
+                ab += w * cbl
+                ad += w * cd
+                nt_ref[0, kc, :] = (w > 0.0).sum(axis=1).astype(jnp.int32)
+                trans = trans * (1.0 - alpha)
+            acc_ref[0, 0] = ar
+            acc_ref[0, 1] = ag
+            acc_ref[0, 2] = ab
+            acc_ref[0, 3] = ad
+            trans_ref[0] = trans
+
+    return kernel
+
+
+def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
+    P = ts * ts
+
+    def kernel(cg_ref, k0_ref, tp_ref, acc_ref, trans_ref, dacc_ref, dtrans_ref,
+               dtp_ref, trans_s, pre_s):
+        b = pl.program_id(0)
+        g = cg_ref[b]
+        k0 = k0_ref[b]
+        dtp_ref[:] = jnp.zeros_like(dtp_ref)
+
+        @pl.when(k0 == 0)
+        def _():
+            trans_s[:] = jnp.ones_like(trans_s)
+            pre_s[:] = jnp.zeros_like(pre_s)
+
+        trans0 = trans_s[:]  # (TG, P)
+
+        @pl.when(jnp.max(trans0) > T_EPS)
+        def _():
+            px, py = _pixel_coords(g, tile_group, ntx, ts)
+            tot_r = acc_ref[0, 0]
+            tot_g = acc_ref[0, 1]
+            tot_b = acc_ref[0, 2]
+            tot_d = acc_ref[0, 3]
+            trans_final = trans_ref[0]
+            g_r = dacc_ref[0, 0]
+            g_g = dacc_ref[0, 1]
+            g_b = dacc_ref[0, 2]
+            g_d = dacc_ref[0, 3]
+            g_t = dtrans_ref[0]
+
+            trans = trans0
+            pr = pre_s[0]
+            pg = pre_s[1]
+            pb = pre_s[2]
+            pd = pre_s[3]
+            for kc in range(KC):
+                p = tp_ref[0, kc]
+                fl = [p[:, i : i + 1] for i in range(NF)]
+                mx, my, ca, cb, cc, cr, cgc, cbl, cd, op = fl
+                dx = px - mx
+                dy = py - my
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                G = jnp.exp(power)
+                raw = op * G
+                ok = (power <= 0.0) & (raw >= ALPHA_MIN)
+                alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
+                contributes = trans > T_EPS
+                w = jnp.where(contributes, alpha * trans, 0.0)
+                pr += w * cr
+                pg += w * cgc
+                pb += w * cbl
+                pd += w * cd
+                one_m = 1.0 - alpha
+
+                sr = tot_r - pr
+                sg = tot_g - pg
+                sb = tot_b - pb
+                sd = tot_d - pd
+                galpha = (
+                    g_r * jnp.where(contributes, trans * cr - sr / one_m, 0.0)
+                    + g_g * jnp.where(contributes, trans * cgc - sg / one_m, 0.0)
+                    + g_b * jnp.where(contributes, trans * cbl - sb / one_m, 0.0)
+                    + g_d * jnp.where(contributes, trans * cd - sd / one_m, 0.0)
+                    - g_t * trans_final / one_m
+                )
+                galpha = jnp.where(alpha > 0.0, galpha, 0.0)
+
+                unclamped = raw < ALPHA_MAX
+                d_op_px = jnp.where(unclamped, galpha * G, 0.0)
+                d_pow = jnp.where(unclamped, galpha * alpha, 0.0)
+
+                d_mx = (d_pow * (ca * dx + cb * dy)).sum(axis=1)
+                d_my = (d_pow * (cc * dy + cb * dx)).sum(axis=1)
+                d_ca = (d_pow * (-0.5 * dx * dx)).sum(axis=1)
+                d_cb = (d_pow * (-dx * dy)).sum(axis=1)
+                d_cc = (d_pow * (-0.5 * dy * dy)).sum(axis=1)
+                d_cr = (g_r * w).sum(axis=1)
+                d_cg = (g_g * w).sum(axis=1)
+                d_cb2 = (g_b * w).sum(axis=1)
+                d_cd = (g_d * w).sum(axis=1)
+                d_op = d_op_px.sum(axis=1)
+
+                dtp_ref[0, kc] = jnp.stack(
+                    [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_cd, d_op],
+                    axis=-1,
+                )  # (TG, NF)
+                trans = trans * one_m
+            trans_s[:] = trans
+            pre_s[0] = pr
+            pre_s[1] = pg
+            pre_s[2] = pb
+            pre_s[3] = pd
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
+                              "interpret")
+)
+def _packed_fwd_call(tp, cg, k0, *, ntx, nty, tile_size, tile_group, n_groups,
+                     interpret):
+    NB = tp.shape[0]
+    TG = tile_group
+    ts = tile_size
+    P = ts * ts
+    kernel = _make_packed_fwd_kernel(TG, ntx, ts)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KC, TG), lambda b, cg, k0: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    acc, trans, nt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups + 1, 4, TG, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups + 1, TG, P), jnp.float32),
+            jax.ShapeDtypeStruct((NB, KC, TG), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cg, k0, tp)
+    return acc, trans, nt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
+                              "interpret")
+)
+def _packed_bwd_call(tp, cg, k0, acc, trans, dacc, dtrans, *, ntx, nty, tile_size,
+                     tile_group, n_groups, interpret):
+    NB = tp.shape[0]
+    TG = tile_group
+    ts = tile_size
+    P = ts * ts
+    kernel = _make_packed_bwd_kernel(TG, ntx, ts)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TG, P), jnp.float32),
+            pltpu.VMEM((4, TG, P), jnp.float32),
+        ],
+    )
+    dtp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, KC, TG, NF), jnp.float32),
+        interpret=interpret,
+    )(cg, k0, tp, acc, trans, dacc, dtrans)
+    return dtp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def pallas_blend_packed(tp, cg, k0, ntx, nty, tile_size, tile_group, n_groups,
+                        interpret):
+    """Front-to-back blend over packed chunk lists.
+
+    tp: (NB, KC, TG, NF) float32 pre-gathered fields, depth-sorted within
+    each tile, sentinel rows (opacity 0) for empty slots. cg: (NB,) int32
+    tile-group id per chunk (n_groups = garbage row for padding chunks).
+    k0: (NB,) int32 slot offset of the chunk within its group (0 = first).
+    Chunks of a group must be grid-consecutive and depth-ascending.
+    Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)).
+    Differentiable w.r.t. tp.
+    """
+    return _packed_fwd_call(
+        tp, cg, k0, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        n_groups=n_groups, interpret=interpret,
+    )
+
+
+def _pbp_fwd(tp, cg, k0, ntx, nty, tile_size, tile_group, n_groups, interpret):
+    out = _packed_fwd_call(
+        tp, cg, k0, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        n_groups=n_groups, interpret=interpret,
+    )
+    acc, trans, nt = out
+    return out, (tp, cg, k0, acc, trans)
+
+
+def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, res, cot):
+    tp, cg, k0, acc, trans = res
+    dacc, dtrans, _dnt = cot
+    dtp = _packed_bwd_call(
+        tp, cg, k0, acc, trans, dacc[: acc.shape[0]], dtrans[: trans.shape[0]],
+        ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
+        n_groups=n_groups, interpret=interpret,
+    )
+    return dtp, None, None
+
+
+pallas_blend_packed.defvjp(_pbp_fwd, _pbp_bwd)

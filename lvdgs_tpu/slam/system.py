@@ -81,6 +81,8 @@ class SLAM:
             gaussian_chunk=perf.get("gaussian_chunk", 32),
             tile_chunk=perf.get("tile_chunk", 128),
             white_background=config.get("model_params", {}).get("white_background", False),
+            use_packed=perf.get("use_packed", False),
+            slot_budget_per_tile=perf.get("slot_budget_per_tile", 128),
         )
         # the map starts small and grows by powers of two toward
         # map_capacity as it fills (gm.grow_capacity) — every

@@ -196,4 +196,80 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PERF_PACKED"):
+        bench_packed()
+    else:
+        main()
+
+
+def bench_packed():
+    """Packed (group-CSR) path stages — run after main() shapes."""
+    import dataclasses
+    from lvdgs_tpu.core.camera import Intrinsics
+    from lvdgs_tpu.ops.rasterizer import (
+        RenderConfig, bin_gaussians, pack_bins, prepare_bins, project_gaussians,
+        rasterize,
+    )
+    from lvdgs_tpu.core import lie
+
+    intr = Intrinsics(fx=707.0912, fy=707.0912, cx=601.8873, cy=183.1104,
+                      width=1226, height=370)
+    cfg = RenderConfig(tile_size=16, max_per_tile=256, gaussian_chunk=32,
+                       tile_chunk=128, use_packed=True)
+    C, A = 2**17, 60000
+    rng = np.random.default_rng(0)
+    means = np.concatenate(
+        [rng.normal(size=(C, 2)) * 10.0, rng.uniform(4.0, 14.0, size=(C, 1))], axis=1
+    )
+    params = {
+        "means": jnp.asarray(means, jnp.float32),
+        "features_dc": jnp.asarray(rng.normal(size=(C, 3)), jnp.float32),
+        "log_scales": jnp.asarray(rng.uniform(-2.0, -0.9, size=(C, 3)), jnp.float32),
+        "quats": jnp.asarray(rng.normal(size=(C, 4)), jnp.float32),
+        "logit_opacities": jnp.asarray(rng.uniform(1.5, 4.0, size=(C,)), jnp.float32),
+    }
+    active = jnp.arange(C) < A
+    Rm = jnp.eye(3)
+    t = jnp.zeros(3)
+    ntx, nty = cfg.grid(intr)
+
+    @jax.jit
+    def bins_fn(params, active):
+        return prepare_bins(params, active, Rm, t, intr, cfg)
+
+    ms = bench(bins_fn, params, active)
+    print(f"bin+pack:           {ms:7.2f} ms")
+    pbins = bins_fn(params, active)
+    used = float((np.asarray(pbins.cg) < np.asarray(pbins.cg).max()).mean())
+    print(f"  chunks used: {used*100:.0f}% of {pbins.cg.shape[0]}", file=sys.stderr)
+
+    @jax.jit
+    def render_fwd_packed(params, active, bins):
+        return rasterize(params, active, Rm, t, intr, cfg, bins=bins).image
+
+    ms = bench(render_fwd_packed, params, active, pbins)
+    print(f"packed fwd (bins):  {ms:7.2f} ms")
+
+    @jax.jit
+    def render_fb_packed(params, active, tau, bins):
+        def f(params, tau):
+            Rn, Tn = lie.apply_delta(Rm, t, tau)
+            out = rasterize(params, active, Rn, Tn, intr, cfg, bins=bins)
+            return jnp.abs(out.image).mean() + jnp.abs(out.depth).mean()
+        return jax.grad(f, argnums=(0, 1))(params, tau)
+
+    ms = bench(render_fb_packed, params, active, jnp.zeros(6), pbins)
+    print(f"packed f+b (bins):  {ms:7.2f} ms")
+
+    @jax.jit
+    def render_fb_full(params, active, tau):
+        def f(params, tau):
+            Rn, Tn = lie.apply_delta(Rm, t, tau)
+            out = rasterize(params, active, Rn, Tn, intr, cfg)
+            return jnp.abs(out.image).mean() + jnp.abs(out.depth).mean()
+        return jax.grad(f, argnums=(0, 1))(params, tau)
+
+    ms = bench(render_fb_full, params, active, jnp.zeros(6))
+    print(f"packed f+b (full):  {ms:7.2f} ms")
+
+
