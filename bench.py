@@ -107,14 +107,23 @@ def build_config():
 
 
 def state_key(config) -> str:
-    """Hash of everything that affects the cached warm state's validity."""
+    """Hash of everything that affects the cached warm state's validity.
+
+    Renderer performance knobs (packed layout, tile grouping, ...) are
+    deliberately excluded: they change speed, not the semantic validity of a
+    warm SLAM state — only state SHAPES (capacities, resolution) and the
+    trajectory-defining dataset/training settings force a rebuild."""
+    perf = config["Performance"]
     payload = json.dumps(
         {
             "v": BENCH_STATE_VERSION,
             "warm": WARM_FRAMES,
             "dataset": config["Dataset"],
             "training": config["Training"],
-            "perf": config["Performance"],
+            "shapes": {
+                "map_capacity": perf.get("map_capacity"),
+                "kf_capacity": perf.get("kf_capacity"),
+            },
         },
         sort_keys=True,
         default=str,

@@ -535,7 +535,8 @@ def _blend_pallas_packed(
 
     interpret = jax.default_backend() == "cpu"
     acc, trans, nt = pallas_blend_packed(
-        tp, pbins.cg, pbins.k0, ntx, nty, tile_size, TG, n_groups, interpret
+        tp, pbins.cg, pbins.k0, jnp.zeros((1,), jnp.int32), ntx, nty, tile_size,
+        TG, n_groups, interpret,
     )
     acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[:T]
     trans_t = trans[:n_groups].reshape(n_groups * TG, P)[:T]

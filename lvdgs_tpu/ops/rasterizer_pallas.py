@@ -371,9 +371,9 @@ KC = 32  # slots per chunk (static unroll inside the kernel)
 def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
     P = ts * ts
 
-    def kernel(cg_ref, k0_ref, tp_ref, acc_ref, trans_ref, nt_ref):
+    def kernel(cg_ref, k0_ref, goff_ref, tp_ref, acc_ref, trans_ref, nt_ref):
         b = pl.program_id(0)
-        g = cg_ref[b]
+        g = cg_ref[b] + goff_ref[0]  # global group id (tile-sharded render)
         k0 = k0_ref[b]
         nt_ref[:] = jnp.zeros_like(nt_ref)
 
@@ -392,6 +392,7 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
             ag = acc_ref[0, 1]
             ab = acc_ref[0, 2]
             ad = acc_ref[0, 3]
+            nts = []
             for kc in range(KC):
                 p = tp_ref[0, kc]  # (TG, NF)
                 fl = [p[:, i : i + 1] for i in range(NF)]
@@ -407,8 +408,9 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
                 ag += w * cgc
                 ab += w * cbl
                 ad += w * cd
-                nt_ref[0, kc, :] = (w > 0.0).sum(axis=1).astype(jnp.int32)
+                nts.append((w > 0.0).sum(axis=1).astype(jnp.int32))
                 trans = trans * (1.0 - alpha)
+            nt_ref[0] = jnp.stack(nts, axis=0)  # one (KC, TG) store
             acc_ref[0, 0] = ar
             acc_ref[0, 1] = ag
             acc_ref[0, 2] = ab
@@ -421,10 +423,10 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
 def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
     P = ts * ts
 
-    def kernel(cg_ref, k0_ref, tp_ref, acc_ref, trans_ref, dacc_ref, dtrans_ref,
-               dtp_ref, trans_s, pre_s):
+    def kernel(cg_ref, k0_ref, goff_ref, tp_ref, acc_ref, trans_ref, dacc_ref,
+               dtrans_ref, dtp_ref, trans_s, pre_s):
         b = pl.program_id(0)
-        g = cg_ref[b]
+        g = cg_ref[b] + goff_ref[0]  # global group id (tile-sharded render)
         k0 = k0_ref[b]
         dtp_ref[:] = jnp.zeros_like(dtp_ref)
 
@@ -454,6 +456,7 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
             pg = pre_s[1]
             pb = pre_s[2]
             pd = pre_s[3]
+            dtps = []
             for kc in range(KC):
                 p = tp_ref[0, kc]
                 fl = [p[:, i : i + 1] for i in range(NF)]
@@ -501,11 +504,12 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
                 d_cd = (g_d * w).sum(axis=1)
                 d_op = d_op_px.sum(axis=1)
 
-                dtp_ref[0, kc] = jnp.stack(
+                dtps.append(jnp.stack(
                     [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_cd, d_op],
                     axis=-1,
-                )  # (TG, NF)
+                ))  # (TG, NF)
                 trans = trans * one_m
+            dtp_ref[0] = jnp.stack(dtps, axis=0)  # one (KC, TG, NF) store
             trans_s[:] = trans
             pre_s[0] = pr
             pre_s[1] = pg
@@ -519,26 +523,26 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
                               "interpret")
 )
-def _packed_fwd_call(tp, cg, k0, *, ntx, nty, tile_size, tile_group, n_groups,
-                     interpret):
+def _packed_fwd_call(tp, cg, k0, goff, *, ntx, nty, tile_size, tile_group,
+                     n_groups, interpret):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
     kernel = _make_packed_fwd_kernel(TG, ntx, ts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0, goff: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KC, TG), lambda b, cg, k0: (b, 0, 0),
+            pl.BlockSpec((1, KC, TG), lambda b, cg, k0, goff: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -551,7 +555,7 @@ def _packed_fwd_call(tp, cg, k0, *, ntx, nty, tile_size, tile_group, n_groups,
             jax.ShapeDtypeStruct((NB, KC, TG), jnp.int32),
         ],
         interpret=interpret,
-    )(cg, k0, tp)
+    )(cg, k0, goff, tp)
     return acc, trans, nt
 
 
@@ -559,29 +563,29 @@ def _packed_fwd_call(tp, cg, k0, *, ntx, nty, tile_size, tile_group, n_groups,
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
                               "interpret")
 )
-def _packed_bwd_call(tp, cg, k0, acc, trans, dacc, dtrans, *, ntx, nty, tile_size,
-                     tile_group, n_groups, interpret):
+def _packed_bwd_call(tp, cg, k0, goff, acc, trans, dacc, dtrans, *, ntx, nty,
+                     tile_size, tile_group, n_groups, interpret):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
     kernel = _make_packed_bwd_kernel(TG, ntx, ts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+            pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0, goff: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0: (cg[b], 0, 0, 0),
+            pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TG, P), lambda b, cg, k0: (cg[b], 0, 0),
+            pl.BlockSpec((1, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0, goff: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TG, P), jnp.float32),
@@ -593,13 +597,13 @@ def _packed_bwd_call(tp, cg, k0, acc, trans, dacc, dtrans, *, ntx, nty, tile_siz
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NB, KC, TG, NF), jnp.float32),
         interpret=interpret,
-    )(cg, k0, tp, acc, trans, dacc, dtrans)
+    )(cg, k0, goff, tp, acc, trans, dacc, dtrans)
     return dtp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def pallas_blend_packed(tp, cg, k0, ntx, nty, tile_size, tile_group, n_groups,
-                        interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def pallas_blend_packed(tp, cg, k0, goff, ntx, nty, tile_size, tile_group,
+                        n_groups, interpret):
     """Front-to-back blend over packed chunk lists.
 
     tp: (NB, KC, TG, NF) float32 pre-gathered fields, depth-sorted within
@@ -607,33 +611,37 @@ def pallas_blend_packed(tp, cg, k0, ntx, nty, tile_size, tile_group, n_groups,
     tile-group id per chunk (n_groups = garbage row for padding chunks).
     k0: (NB,) int32 slot offset of the chunk within its group (0 = first).
     Chunks of a group must be grid-consecutive and depth-ascending.
+    `goff` is a (1,) int32 global group offset: in tile-sharded multi-chip
+    rendering each device blends a contiguous row-block of tile groups and
+    goff makes the kernel's pixel coordinates global.
     Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)).
     Differentiable w.r.t. tp.
     """
     return _packed_fwd_call(
-        tp, cg, k0, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
-        n_groups=n_groups, interpret=interpret,
+        tp, cg, k0, goff, ntx=ntx, nty=nty, tile_size=tile_size,
+        tile_group=tile_group, n_groups=n_groups, interpret=interpret,
     )
 
 
-def _pbp_fwd(tp, cg, k0, ntx, nty, tile_size, tile_group, n_groups, interpret):
+def _pbp_fwd(tp, cg, k0, goff, ntx, nty, tile_size, tile_group, n_groups,
+             interpret):
     out = _packed_fwd_call(
-        tp, cg, k0, ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
-        n_groups=n_groups, interpret=interpret,
+        tp, cg, k0, goff, ntx=ntx, nty=nty, tile_size=tile_size,
+        tile_group=tile_group, n_groups=n_groups, interpret=interpret,
     )
     acc, trans, nt = out
-    return out, (tp, cg, k0, acc, trans)
+    return out, (tp, cg, k0, goff, acc, trans)
 
 
 def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, res, cot):
-    tp, cg, k0, acc, trans = res
+    tp, cg, k0, goff, acc, trans = res
     dacc, dtrans, _dnt = cot
     dtp = _packed_bwd_call(
-        tp, cg, k0, acc, trans, dacc[: acc.shape[0]], dtrans[: trans.shape[0]],
+        tp, cg, k0, goff, acc, trans, dacc[: acc.shape[0]], dtrans[: trans.shape[0]],
         ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
         n_groups=n_groups, interpret=interpret,
     )
-    return dtp, None, None
+    return dtp, None, None, None
 
 
 pallas_blend_packed.defvjp(_pbp_fwd, _pbp_bwd)

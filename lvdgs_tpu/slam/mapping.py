@@ -100,7 +100,7 @@ def _adam(m, v, g, it, lr, b1, b2, eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "rcfg", "opt", "mcfg"),
+    static_argnames=("intr", "rcfg", "opt", "mcfg", "mesh"),
     donate_argnames=("gmap", "opt_state"),
 )
 def mapping_run(
@@ -117,6 +117,7 @@ def mapping_run(
     rcfg: RenderConfig,
     opt: gm.MapOptimizer,
     mcfg: MappingConfig,
+    mesh=None,  # jax.sharding.Mesh with a "data" axis -> camera-DP gradients
 ) -> MappingResult:
     Ws = window_slots.shape[0]
     Nr = mcfg.n_random
@@ -259,6 +260,91 @@ def mapping_run(
             aux,
         )
 
+    def camera_grads_sharded(p, active, abw, Rw, Tw, replay_slots, replay_w, bins):
+        """Camera-data-parallel gradient accumulation over mesh axis "data".
+
+        TPU-native scaling of the windowed mapping step (the reference is
+        single-GPU, SURVEY.md §2.6): the map and keyframe buffer are
+        replicated (the map pytree is ~7 MB — replication is the right
+        trade on ICI), cameras are sharded; each device unrolls its local
+        camera slots exactly like the single-chip path and gradients are
+        psum'd. Same return contract as camera_grads. Requires
+        use_masked_loss=False (the per-camera masked-loss branch is a
+        static switch in the unrolled path)."""
+        assert not mcfg.use_masked_loss, "camera-DP mapping requires masker off"
+        ND = mesh.shape["data"]
+        per = -(-Ncam // ND)
+        Npad = per * ND
+        # pad with copies of the last real camera at zero loss weight
+        idx = jnp.minimum(jnp.arange(Npad), Ncam - 1)
+        slots_all = jnp.concatenate([safe_slots, replay_slots])[idx]
+        R_all = jnp.concatenate([Rw, kfbuf.R[replay_slots]], 0)[idx]
+        T_all = jnp.concatenate([Tw, kfbuf.T[replay_slots]], 0)[idx]
+        ab_all = jnp.concatenate([abw, kfbuf.exposure_ab[replay_slots]], 0)[idx]
+        w_all = jnp.where(
+            jnp.arange(Npad) < Ncam,
+            jnp.concatenate([window_valid.astype(jnp.float32), replay_w])[idx],
+            0.0,
+        )
+        bins_all = jax.tree_util.tree_map(lambda b: b[idx], bins)
+
+        from jax.sharding import PartitionSpec as P
+
+        def shard_body(p, active, slots_l, R_l, T_l, ab_l, w_l, bins_l):
+            zero6 = jnp.zeros((6,), jnp.float32)
+            g_params = {f: jnp.zeros_like(p[f]) for f in p}
+            total = jnp.zeros(())
+            g_tau_l, g_ab_l, gvs_l, vis_l, radii_l, nt_l = [], [], [], [], [], []
+            for i in range(per):
+                bins_i = jax.tree_util.tree_map(lambda b: b[i], bins_l)
+                vs0 = jnp.zeros((C, 2), jnp.float32)
+                (li, aux_i), (gp, gt_, ga, gv) = jax.value_and_grad(
+                    _cam_loss, argnums=(0, 2, 3, 4), has_aux=True
+                )(
+                    p, active, zero6, ab_l[i], vs0, slots_l[i], R_l[i], T_l[i],
+                    w_l[i], True, bins_i,
+                )
+                total = total + li
+                g_params = {f: g_params[f] + gp[f] for f in g_params}
+                g_tau_l.append(gt_)
+                g_ab_l.append(ga)
+                gvs_l.append(jnp.linalg.norm(gv, axis=-1))
+                vis_l.append(aux_i[0])
+                radii_l.append(aux_i[1])
+                nt_l.append(aux_i[2])
+
+            total = jax.lax.psum(total, "data")
+            g_params = {f: jax.lax.psum(g, "data") for f, g in g_params.items()}
+            ag = lambda xs: jax.lax.all_gather(
+                jnp.stack(xs), "data", axis=0, tiled=True
+            )
+            return (
+                total, g_params, ag(g_tau_l), ag(g_ab_l), ag(gvs_l),
+                ag(vis_l), ag(radii_l), ag(nt_l),
+            )
+
+        pspec = {f: P() for f in p}
+        out = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(pspec, P(), P("data"), P("data"), P("data"), P("data"),
+                      P("data"),
+                      jax.tree_util.tree_map(lambda _: P("data"), bins)),
+            out_specs=(P(), pspec, P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )(p, active, slots_all, R_all, T_all, ab_all, w_all, bins_all)
+        total, g_params, g_tau, g_ab, gvs, vis, radii, nt = out
+
+        iso, g_iso = jax.value_and_grad(
+            lambda ls: mcfg.isotropic_weight * isotropic_reg(jnp.exp(ls), active)
+        )(p["log_scales"])
+        total = total + iso
+        g_params = dict(g_params)
+        g_params["log_scales"] = g_params["log_scales"] + g_iso
+
+        aux = (vis[:Ncam], radii[:Ncam], nt[:Ncam])
+        return total, g_params, g_tau[:Ws], g_ab[:Ws], gvs[:Ncam], aux
+
     class Carry(NamedTuple):
         gmap: gm.GaussianMap
         opt_state: gm.AdamState
@@ -280,7 +366,8 @@ def mapping_run(
         it_count = c.it_count + 1
         local_it = c.local_it + 1
 
-        loss, g_params, g_tau, g_ab, gvs_norm, aux = camera_grads(
+        grads_fn = camera_grads_sharded if mesh is not None else camera_grads
+        loss, g_params, g_tau, g_ab, gvs_norm, aux = grads_fn(
             c.gmap.params(),
             c.gmap.active,
             c.abw,

@@ -40,7 +40,7 @@ from .keyframe import add_to_window, is_keyframe, keyframe_rotation_delta_deg
 from .mapping import (
     MappingConfig, color_refine_run, covisibility_prune, global_ba_run, mapping_run,
 )
-from .tracking import TrackingConfig, track_camera
+from .tracking import TrackingConfig, track_camera, track_camera_sharded
 
 
 def _dilate_mask(mask: jax.Array, kernel: int) -> jax.Array:
@@ -81,8 +81,26 @@ class SLAM:
             gaussian_chunk=perf.get("gaussian_chunk", 32),
             tile_chunk=perf.get("tile_chunk", 128),
             white_background=config.get("model_params", {}).get("white_background", False),
-            use_packed=perf.get("use_packed", False),
-            slot_budget_per_tile=perf.get("slot_budget_per_tile", 128),
+        )
+        # packed (group-CSR) renderer budgets per path, 0 = dense/exact.
+        # Measured on the steady-state bench map (tools/perf_steady.py,
+        # tools/perf_track_quality.py): tracking@160 is 1.6x faster with
+        # pose-neutral convergence; mapping@192 is 1.4x at -0.17 dB; eval
+        # and covisibility pruning stay exact.
+        import dataclasses as _dc
+        # interpret-mode Pallas (CPU) makes the packed kernels far slower
+        # than the XLA scan, so the packed default is TPU-only; configs can
+        # still force budgets on any backend.
+        on_cpu = jax.default_backend() == "cpu"
+        tb = perf.get("packed_tracking_budget", 0 if on_cpu else 160)
+        mb = perf.get("packed_mapping_budget", 0 if on_cpu else 192)
+        self.rcfg_track = (
+            _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=tb)
+            if tb else self.rcfg
+        )
+        self.rcfg_map = (
+            _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=mb)
+            if mb else self.rcfg
         )
         # the map starts small and grows by powers of two toward
         # map_capacity as it fills (gm.grow_capacity) — every
@@ -229,6 +247,21 @@ class SLAM:
         # iterations (exact continuation via local_it0/it0 threading)
         self.max_iters_per_dispatch = perf.get("max_iters_per_dispatch", 300)
 
+        # multi-chip: camera-data-parallel mapping gradients over a "data"
+        # mesh (replicated map + psum'd grads, mapping.camera_grads_sharded).
+        # Off unless requested AND >1 device AND no masker (the masked-loss
+        # branch is a static per-camera switch in the single-chip unroll).
+        self.mesh = None
+        if (
+            perf.get("data_parallel", False)
+            and len(jax.devices()) > 1
+            and masker is None
+        ):
+            from jax.sharding import Mesh
+
+            self.mesh = Mesh(np.array(jax.devices()), ("data",))
+            Log(f"Camera-DP mapping over {len(jax.devices())} devices")
+
     # ------------------------------------------------------------------ utils
 
     def _run_mapping(self, window_slots, n_iters: int, mcfg):
@@ -254,9 +287,10 @@ class SLAM:
                 jnp.asarray(seg, jnp.int32),
                 local_it,
                 intr=self.intr,
-                rcfg=self.rcfg,
+                rcfg=self.rcfg_map,
                 opt=self.opt,
                 mcfg=mcfg,
+                mesh=self.mesh if not mcfg.initialization else None,
             )
             self.gmap, self.opt_state, self.kfbuf = res.gmap, res.opt_state, res.kfbuf
             self.iteration_count = res.iteration_count
@@ -548,9 +582,18 @@ class SLAM:
 
     def _track(self, idx: int, cam: Camera):
         cam = self._pose_seed(idx, cam)
-        res = track_camera(
-            self.gmap.params(), self.gmap.active, cam, self.intr, self.rcfg, self.tcfg
-        )
+        if self.mesh is not None:
+            # tile-sharded multi-chip tracking (rows over the mesh, psum'd
+            # pose gradients — slam.tracking.track_camera_sharded)
+            res = track_camera_sharded(
+                self.gmap.params(), self.gmap.active, cam, self.intr,
+                self.rcfg_track, self.tcfg, mesh=self.mesh,
+            )
+        else:
+            res = track_camera(
+                self.gmap.params(), self.gmap.active, cam, self.intr,
+                self.rcfg_track, self.tcfg,
+            )
         cam = cam.update_RT(res.R, res.T).replace(
             exposure_a=res.exposure_a, exposure_b=res.exposure_b
         )
@@ -771,7 +814,7 @@ class SLAM:
                 jnp.asarray(seg, jnp.int32),
                 done,
                 intr=self.intr,
-                rcfg=self.rcfg,
+                rcfg=self.rcfg_map,
                 opt=self.opt,
                 mcfg=self.mcfg,
             )
@@ -800,7 +843,7 @@ class SLAM:
                 jnp.asarray(seg, jnp.int32),
                 done,
                 intr=self.intr,
-                rcfg=self.rcfg,
+                rcfg=self.rcfg_map,
                 opt=self.opt,
                 mcfg=self.mcfg,
             )

@@ -192,3 +192,255 @@ def track_camera(
         iterations=s.it,
         loss=s.loss,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "rcfg", "tcfg", "mesh"))
+def track_camera_sharded(
+    params,
+    active,
+    cam: Camera,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    tcfg: TrackingConfig,
+    mesh=None,
+) -> TrackResult:
+    """Tile-sharded multi-chip tracking (TPU-native; no reference equivalent
+    — the reference is single-GPU, SURVEY.md §2.6).
+
+    Sharding layout over the mesh's "data" axis: the tile grid is padded so
+    tile groups never straddle rows, split into contiguous row blocks, one
+    per device. Per optimisation step each device bins/packs/gathers/blends
+    ONLY its rows (the row-serialized index plumbing — the single-chip
+    bottleneck, PERFORMANCE.md — divides by the device count), computes the
+    local masked-L1 contribution, and the 8-scalar (tau, exposure) gradient
+    is psum'd over ICI. Projection stays replicated (dense C-row math).
+    The final rendered frame is reassembled with one all_gather.
+
+    Numerics match track_camera up to float reduction order."""
+    from ..ops.rasterizer import (
+        PackedBins, bin_gaussians, pack_bins, project_gaussians,
+    )
+    from ..ops.rasterizer_pallas import pallas_blend_packed
+    from ..gaussian.model import SH_C0
+
+    ND = mesh.shape["data"]
+    ts, TG = rcfg.tile_size, rcfg.tile_group
+    H, W = intr.height, intr.width
+    ntx = -(-W // ts)
+    nty = -(-H // ts)
+    ntx_p = -(-ntx // TG) * TG  # groups never straddle tile rows
+    rows_per = -(-nty // ND)
+    nty_p = rows_per * ND
+    T_local = ntx_p * rows_per
+    groups_per = T_local // TG
+    Hp, Wp = nty_p * ts, ntx_p * ts
+    C = params["means"].shape[0]
+    P = ts * ts
+    interpret = jax.default_backend() == "cpu"
+    budget = rcfg.slot_budget_per_tile if rcfg.use_packed else rcfg.max_per_tile
+
+    params = jax.lax.stop_gradient(params)
+    gt_pad = jnp.zeros((3, Hp, Wp), jnp.float32).at[:, :H, :W].set(cam.image)
+    rgb_mask = (
+        (cam.image.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
+    ).astype(jnp.float32)
+    mask_pad = jnp.zeros((1, Hp, Wp), jnp.float32).at[0, :H, :W].set(rgb_mask)
+
+    lr_tau = jnp.concatenate(
+        [jnp.full((3,), tcfg.lr_trans), jnp.full((3,), tcfg.lr_rot)]
+    )
+
+    def shard_body(params, active, gt, maskp, R0, T0, ab0):
+        chip = jax.lax.axis_index("data")
+        row0 = chip * rows_per
+        tile0 = row0 * ntx_p
+        group0 = (tile0 // TG)[None].astype(jnp.int32)
+        gt_l = jax.lax.dynamic_slice_in_dim(gt, row0 * ts, rows_per * ts, 1)
+        mask_l = jax.lax.dynamic_slice_in_dim(maskp, row0 * ts, rows_per * ts, 1)
+
+        def local_bins(R, T):
+            proj = project_gaussians(
+                params["means"], params["quats"], params["log_scales"], active,
+                R, T, intr,
+            )
+            tile_idx, slot_valid = bin_gaussians(
+                jax.lax.stop_gradient(proj["mean2d"]),
+                jax.lax.stop_gradient(proj["radius"]),
+                jax.lax.stop_gradient(proj["depth"]),
+                proj["valid"],
+                tcfg.bin_margin,
+                ntx=ntx_p,
+                nty=nty_p,
+                tile_size=ts,
+                max_per_tile=rcfg.max_per_tile,
+                tile_chunk=rcfg.tile_chunk,
+                coarse_factor=rcfg.coarse_factor,
+                max_per_coarse=rcfg.max_per_coarse,
+                use_approx_topk=rcfg.use_approx_topk,
+                approx_recall=rcfg.approx_recall,
+            )
+            ti_l = jax.lax.dynamic_slice_in_dim(tile_idx, tile0, T_local, 0)
+            sv_l = jax.lax.dynamic_slice_in_dim(slot_valid, tile0, T_local, 0)
+            return pack_bins(
+                ti_l, sv_l, C, tile_group=TG, slot_budget_per_tile=budget
+            )
+
+        def render_local(tau, R, T, pbins):
+            Rn, Tn = lie.apply_delta(R, T, tau)
+            proj = project_gaussians(
+                params["means"], params["quats"], params["log_scales"], active,
+                Rn, Tn, intr,
+            )
+            colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
+            opac = jnp.where(
+                active, jax.nn.sigmoid(params["logit_opacities"]), 0.0
+            )
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0
+            )
+            fields = jnp.concatenate(
+                [
+                    pad(proj["mean2d"]),
+                    pad(proj["conic"]),
+                    pad(colors),
+                    pad(proj["depth"][:, None]),
+                    pad(opac[:, None]),
+                ],
+                axis=1,
+            )
+            tp = fields[pbins.gid]
+            acc, trans, nt = pallas_blend_packed(
+                tp, pbins.cg, pbins.k0, group0, ntx_p, nty_p, ts, TG,
+                groups_per, interpret,
+            )
+            acc_t = acc[:groups_per].transpose(0, 2, 1, 3).reshape(T_local, 4, P)
+            trans_t = trans[:groups_per].reshape(T_local, P)
+            # local tile block -> local pixel rows (3, rows_per*ts, Wp)
+            img = acc_t[:, :3, :].reshape(rows_per, ntx_p, 3, ts, ts)
+            img = jnp.moveaxis(img, 2, 0).transpose(0, 1, 3, 2, 4).reshape(
+                3, rows_per * ts, Wp
+            )
+            dep = acc_t[:, 3, :].reshape(rows_per, ntx_p, ts, ts).transpose(
+                0, 2, 1, 3
+            ).reshape(1, rows_per * ts, Wp)
+            alpha = (1.0 - trans_t).reshape(rows_per, ntx_p, ts, ts).transpose(
+                0, 2, 1, 3
+            ).reshape(1, rows_per * ts, Wp)
+            n_touched = jnp.zeros((C,), jnp.int32).at[pbins.gid.reshape(-1)].add(
+                nt.reshape(-1), mode="drop"
+            )
+            return img, dep, alpha, n_touched
+
+        def loss_fn(tau, ab, R, T, pbins):
+            img, dep, alpha, n_touched = render_local(tau, R, T, pbins)
+            image_ab = jnp.exp(ab[0]) * img + ab[1]
+            l1 = alpha * jnp.abs(image_ab * maskl_c - gt_l * maskl_c)
+            loss_local = l1.sum() / (3.0 * H * W)
+            return loss_local, (img, dep, alpha, n_touched)
+
+        maskl_c = mask_l  # closure alias
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        class SState(NamedTuple):
+            R: jax.Array
+            T: jax.Array
+            ab: jax.Array
+            m_tau: jax.Array
+            v_tau: jax.Array
+            m_ab: jax.Array
+            v_ab: jax.Array
+            it: jax.Array
+            done: jax.Array
+            img: jax.Array
+            dep: jax.Array
+            alpha: jax.Array
+            nt: jax.Array
+            loss: jax.Array
+
+        def body_with_bins(s, pbins):
+            (loss_l, aux), (g_tau, g_ab) = grad_fn(
+                jnp.zeros(6), s.ab, s.R, s.T, pbins
+            )
+            loss = jax.lax.psum(loss_l, "data")
+            g_tau = jax.lax.psum(g_tau, "data")
+            g_ab = jax.lax.psum(g_ab, "data")
+            img, dep, alpha, nt = aux
+            it = s.it + 1
+            itf = it.astype(jnp.float32)
+
+            m_tau = tcfg.b1 * s.m_tau + (1 - tcfg.b1) * g_tau
+            v_tau = tcfg.b2 * s.v_tau + (1 - tcfg.b2) * g_tau * g_tau
+            mhat = m_tau / (1 - tcfg.b1**itf)
+            vhat = v_tau / (1 - tcfg.b2**itf)
+            tau_new = -lr_tau * mhat / (jnp.sqrt(vhat) + tcfg.adam_eps)
+
+            m_ab = tcfg.b1 * s.m_ab + (1 - tcfg.b1) * g_ab
+            v_ab = tcfg.b2 * s.v_ab + (1 - tcfg.b2) * g_ab * g_ab
+            ab = s.ab - tcfg.lr_exposure * (m_ab / (1 - tcfg.b1**itf)) / (
+                jnp.sqrt(v_ab / (1 - tcfg.b2**itf)) + tcfg.adam_eps
+            )
+
+            R, T = lie.apply_delta(s.R, s.T, tau_new)
+            done = jnp.linalg.norm(tau_new) < tcfg.convergence_eps
+            return SState(R, T, ab, m_tau, v_tau, m_ab, v_ab, it, done,
+                          img, dep, alpha, nt, loss)
+
+        def outer_cond(s):
+            return (~s.done) & (s.it < tcfg.max_iters)
+
+        def outer_body(s):
+            pbins = local_bins(s.R, s.T)
+
+            def inner_cond(st):
+                return (~st.done) & (st.it < tcfg.max_iters) & (
+                    st.it < s.it + tcfg.rebin_every
+                )
+
+            return jax.lax.while_loop(
+                inner_cond, lambda st: body_with_bins(st, pbins), s
+            )
+
+        hl = rows_per * ts
+        init = SState(
+            R=R0, T=T0, ab=ab0,
+            m_tau=jnp.zeros(6), v_tau=jnp.zeros(6),
+            m_ab=jnp.zeros(2), v_ab=jnp.zeros(2),
+            it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+            img=jnp.zeros((3, hl, Wp), jnp.float32),
+            dep=jnp.zeros((1, hl, Wp), jnp.float32),
+            alpha=jnp.zeros((1, hl, Wp), jnp.float32),
+            nt=jnp.zeros((C,), jnp.int32),
+            loss=jnp.zeros(()),
+        )
+        s = jax.lax.while_loop(outer_cond, outer_body, init)
+
+        # reassemble the full frame: one all_gather of the local row blocks
+        img_full = jax.lax.all_gather(s.img, "data", axis=1, tiled=True)
+        dep_full = jax.lax.all_gather(s.dep, "data", axis=1, tiled=True)
+        alpha_full = jax.lax.all_gather(s.alpha, "data", axis=1, tiled=True)
+        nt_full = jax.lax.psum(s.nt, "data")
+        return (s.R, s.T, s.ab, img_full, dep_full, alpha_full, nt_full,
+                s.it, s.loss)
+
+    from jax.sharding import PartitionSpec as Pspec
+
+    pspec = {f: Pspec() for f in params}
+    out = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(pspec, Pspec(), Pspec(), Pspec(), Pspec(), Pspec(), Pspec()),
+        out_specs=(Pspec(),) * 9,
+        check_vma=False,
+    )(params, active, gt_pad, mask_pad, cam.R, cam.T,
+      jnp.stack([cam.exposure_a, cam.exposure_b]))
+
+    R, T, ab, img, dep, alpha, nt, it, loss = out
+    image = img[:, :H, :W]
+    depth = dep[:, :H, :W]
+    opacity = alpha[:, :H, :W]
+    median_depth = get_median_depth(depth, opacity)
+    return TrackResult(
+        R=R, T=T, exposure_a=ab[0], exposure_b=ab[1],
+        image=image, depth=depth, opacity=opacity, n_touched=nt,
+        median_depth=median_depth, iterations=it, loss=loss,
+    )

@@ -126,3 +126,31 @@ def test_threaded_mode_idle_mapping(tmp_path):
     assert np.isfinite(res["ate_rmse"])
     # all accrued idle iterations were folded into mapping runs
     assert slam.idle_debt == 0 or slam.last_sent < 10
+
+
+def test_packed_renderer_e2e(tmp_path):
+    """Short SLAM run with the packed (group-CSR) renderer budgets forced on
+    (the TPU production default; off by default on CPU where interpret-mode
+    Pallas is slow). Must track and stay finite."""
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 8
+    config["Dataset"]["Calibration"].update(
+        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0}
+    )
+    config["Training"]["init_itr_num"] = 120
+    config["Training"]["mapping_itr_num"] = 12
+    config["Training"]["tracking_itr_num"] = 12
+    config["Training"]["kf_interval"] = 3
+    config["Results"]["color_refinement"] = False
+    config["Results"]["eval_rendering"] = False
+    config["Performance"] = {
+        "tile_size": 16, "max_per_tile": 64, "gaussian_chunk": 8,
+        "tile_chunk": 16, "map_capacity": 8192, "kf_capacity": 16,
+        "packed_tracking_budget": 64, "packed_mapping_budget": 64,
+    }
+    slam = SLAM(config, save_dir=str(tmp_path))
+    res = slam.run(progress=False)
+    import numpy as np
+
+    assert res["n_frames"] == 8
+    assert np.isfinite(res["ate_rmse"])

@@ -57,3 +57,125 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(a, b, atol=6e-3, err_msg=f)
         frac_equal = np.mean(np.abs(a - b) < 1e-6)
         assert frac_equal > 0.95, f"{f}: only {frac_equal:.2%} bitwise-close"
+
+
+def test_camera_dp_mapping_run_matches_single():
+    """mapping_run with a "data" mesh (camera-DP shard_map gradients) must
+    match the single-chip unrolled path on the same inputs."""
+    from jax.sharding import Mesh
+    from lvdgs_tpu.core.camera import Intrinsics
+    from lvdgs_tpu.gaussian import model as gm
+    from lvdgs_tpu.ops.rasterizer import RenderConfig
+    from lvdgs_tpu.slam import state as slam_state
+    from lvdgs_tpu.slam.mapping import MappingConfig, mapping_run
+    from lvdgs_tpu.slam.state import KeyframeBuffer
+
+    H, W = 32, 32
+    intr = Intrinsics(fx=40.0, fy=40.0, cx=16.0, cy=12.0, width=W, height=H)
+    rcfg = RenderConfig(tile_size=16, max_per_tile=64, gaussian_chunk=8,
+                        tile_chunk=16, use_pallas=False)
+    rng = np.random.default_rng(3)
+    C = 256
+    gmap = gm.create_map(C)
+    n = 128
+    means = np.concatenate(
+        [rng.normal(size=(n, 2)) * 1.0, rng.uniform(2.0, 6.0, size=(n, 1))], 1
+    )
+    gmap = gmap.replace(
+        means=gmap.means.at[:n].set(jnp.asarray(means, jnp.float32)),
+        features_dc=gmap.features_dc.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 3)) * 0.3, jnp.float32)),
+        log_scales=gmap.log_scales.at[:n].set(
+            jnp.asarray(rng.uniform(-2.5, -1.5, size=(n, 3)), jnp.float32)),
+        quats=gmap.quats.at[:n].set(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)),
+        logit_opacities=gmap.logit_opacities.at[:n].set(
+            jnp.asarray(rng.uniform(0.0, 2.0, size=(n,)), jnp.float32)),
+        active=gmap.active.at[:n].set(True),
+    )
+    opt = gm.MapOptimizer()
+    opt_state = opt.init(gmap)
+
+    kfbuf = slam_state.create_keyframe_buffer(8, H, W)
+    from lvdgs_tpu.core.camera import Camera
+    for i in range(3):
+        img = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)), jnp.float32)
+        cam = Camera.create(i, img, intr, mono_depth=jnp.asarray(
+            rng.uniform(2, 6, size=(H, W)), jnp.float32,
+        )).update_RT(jnp.eye(3), jnp.asarray([0.02 * i, 0.0, 0.0], jnp.float32))
+        kfbuf, _ = slam_state.add_keyframe(kfbuf, cam)
+
+    window = jnp.asarray([0, 1, 2, -1], jnp.int32)
+    mcfg = MappingConfig(window_size=4, n_random=1, up_pose=True,
+                         gaussian_update_every=10**6, gaussian_reset=10**6,
+                         rebin_every=2)
+    key = jax.random.PRNGKey(0)
+
+    def run(mesh):
+        g = jax.tree.map(lambda a: a.copy(), gmap)
+        s = jax.tree.map(lambda a: a.copy(), opt_state)
+        return mapping_run(
+            g, s, kfbuf, window, key, jnp.zeros((), jnp.int32),
+            jnp.asarray(4, jnp.int32), 0,
+            intr=intr, rcfg=rcfg, opt=opt, mcfg=mcfg, mesh=mesh,
+        )
+
+    ref = run(None)
+    mesh = Mesh(np.array(jax.devices()[:5]), ("data",))
+    out = run(mesh)
+
+    np.testing.assert_allclose(float(out.last_loss), float(ref.last_loss), rtol=1e-5)
+    for f in gm.PARAM_FIELDS:
+        a = np.asarray(getattr(out.gmap, f))
+        b = np.asarray(getattr(ref.gmap, f))
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=f)
+    np.testing.assert_allclose(
+        np.asarray(out.kfbuf.R), np.asarray(ref.kfbuf.R), atol=1e-5
+    )
+
+
+def test_tile_sharded_tracking_matches_single():
+    """track_camera_sharded (tile rows over the mesh, psum'd pose grads)
+    must converge to the same pose as the single-chip tracker."""
+    from jax.sharding import Mesh
+    from lvdgs_tpu.core import lie
+    from lvdgs_tpu.core.camera import Camera, Intrinsics
+    from lvdgs_tpu.ops.rasterizer import RenderConfig, rasterize
+    from lvdgs_tpu.slam.tracking import (
+        TrackingConfig, track_camera, track_camera_sharded,
+    )
+
+    intr = Intrinsics(fx=80.0, fy=80.0, cx=32.0, cy=24.0, width=64, height=48)
+    rcfg = RenderConfig(tile_size=16, max_per_tile=64, gaussian_chunk=8,
+                        tile_chunk=16, tile_group=4, use_packed=True,
+                        slot_budget_per_tile=64)
+    rng = np.random.default_rng(7)
+    n = 120
+    means = np.concatenate(
+        [rng.normal(size=(n, 2)) * 1.2, rng.uniform(2.0, 6.0, size=(n, 1))], 1
+    )
+    params = {
+        "means": jnp.asarray(means, jnp.float32),
+        "features_dc": jnp.asarray(rng.normal(size=(n, 3)) * 0.5, jnp.float32),
+        "log_scales": jnp.asarray(rng.uniform(-2.5, -1.0, size=(n, 3)), jnp.float32),
+        "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        "logit_opacities": jnp.asarray(rng.uniform(0.0, 2.5, size=(n,)), jnp.float32),
+    }
+    active = jnp.ones((n,), bool)
+
+    gt = rasterize(params, active, jnp.eye(3), jnp.zeros(3), intr, rcfg)
+    tau = jnp.asarray([0.02, -0.015, 0.01, 0.004, -0.003, 0.002], jnp.float32)
+    Rp, Tp = lie.apply_delta(jnp.eye(3), jnp.zeros(3), tau)
+    cam = Camera.create(0, gt.image, intr).update_RT(Rp, Tp)
+
+    tcfg = TrackingConfig(max_iters=30, rebin_every=5)
+    ref = track_camera(params, active, cam, intr, rcfg, tcfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    out = track_camera_sharded(params, active, cam, intr, rcfg, tcfg, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(ref.R), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(ref.T), atol=5e-4)
+    np.testing.assert_allclose(float(out.loss), float(ref.loss), rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(ref.image), atol=1e-3
+    )
+    assert int((np.asarray(out.n_touched) > 0).sum()) > 0
