@@ -359,14 +359,18 @@ class SyntheticDataset:
                 self.intrinsics,
                 self._rcfg,
             )
-            depth = np.where(
-                np.asarray(out.opacity[0]) > 0.5,
-                np.asarray(out.depth[0]) / np.maximum(np.asarray(out.opacity[0]), 1e-6),
+            # stay ON DEVICE: this dataset is procedural, and a device->host
+            # round trip of the full frame costs ~3 s through the TPU relay
+            # (PERFORMANCE.md) — real file datasets go through the prefetch
+            # loader instead
+            depth = jnp.where(
+                out.opacity[0] > 0.5,
+                out.depth[0] / jnp.maximum(out.opacity[0], 1e-6),
                 0.0,
-            ).astype(np.float32)
-            self._cache[idx] = (np.asarray(out.image), depth)
+            )
+            self._cache[idx] = (out.image, depth)
         image, depth = self._cache[idx]
-        return image, depth, self.poses[idx], depth.copy()
+        return image, depth, self.poses[idx], depth
 
 
 def load_dataset(args, path, config):

@@ -23,6 +23,29 @@ def _overlap_ratio_union(vis_a: jax.Array, vis_b: jax.Array) -> float:
     return inter / max(union, 1)
 
 
+@jax.jit
+def visibility_pair_stats(curr_vis: jax.Array, last_vis: jax.Array) -> jax.Array:
+    """[count(curr), count(last), count(inter), count(union)] in ONE device
+    fetch — every separate int(count_nonzero) costs a full host round trip
+    through the TPU relay (~27 ms)."""
+    cv = curr_vis.astype(jnp.int32)
+    lv = last_vis.astype(jnp.int32)
+    return jnp.stack(
+        [cv.sum(), lv.sum(), (cv * lv).sum(), jnp.maximum(cv, lv).sum()]
+    )
+
+
+@jax.jit
+def visibility_window_stats(curr_vis: jax.Array, occ_stack: jax.Array) -> jax.Array:
+    """(n, 3) [inter, count(occ), count(curr)] vs each window keyframe."""
+    cv = curr_vis.astype(jnp.int32)
+    o = occ_stack.astype(jnp.int32)
+    inter = (o * cv[None, :]).sum(axis=1)
+    return jnp.stack(
+        [inter, o.sum(axis=1), jnp.full_like(inter, cv.sum())], axis=1
+    )
+
+
 def _overlap_ratio_min(vis_a: jax.Array, vis_b: jax.Array) -> float:
     denom = min(int(jnp.count_nonzero(vis_a)), int(jnp.count_nonzero(vis_b)))
     inter = int(jnp.count_nonzero(vis_a & vis_b))
@@ -52,6 +75,7 @@ def is_keyframe(
     kf_min_translation: float,
     kf_overlap: float,
     static_ratio: Optional[float] = None,
+    overlap_stats: Optional[np.ndarray] = None,  # visibility_pair_stats
 ) -> bool:
     """Reference utils/slam_frontend.py:1579-1619."""
     dist = rel_translation(curr_R, curr_T, last_kf_R, last_kf_T)
@@ -62,7 +86,10 @@ def is_keyframe(
     if static_ratio is not None and static_ratio < 0.3:
         adjusted_overlap = kf_overlap * 0.7  # dynamic-scene relaxation
 
-    point_ratio = _overlap_ratio_union(curr_visibility, last_kf_visibility)
+    if overlap_stats is not None:
+        point_ratio = int(overlap_stats[2]) / max(int(overlap_stats[3]), 1)
+    else:
+        point_ratio = _overlap_ratio_union(curr_visibility, last_kf_visibility)
     return (point_ratio < adjusted_overlap and dist_check2) or dist_check
 
 
@@ -76,6 +103,7 @@ def add_to_window(
     window_size: int,
     kf_cutoff: float,
     initialized: bool,
+    overlap_min_ratios: Optional[Dict[int, float]] = None,
 ) -> Tuple[List[int], Optional[int]]:
     """Reference utils/slam_frontend.py:1621-1674. Returns (window, removed)."""
     N_dont_touch = 2
@@ -85,7 +113,10 @@ def add_to_window(
     to_remove = []
     for i in range(N_dont_touch, len(window)):
         kf_idx = window[i]
-        ratio = _overlap_ratio_min(curr_visibility, occ_visibility[kf_idx])
+        if overlap_min_ratios is not None:
+            ratio = overlap_min_ratios[kf_idx]
+        else:
+            ratio = _overlap_ratio_min(curr_visibility, occ_visibility[kf_idx])
         cut_off = kf_cutoff if initialized else 0.4
         if ratio <= cut_off and len(window) > window_size:
             to_remove.append(kf_idx)

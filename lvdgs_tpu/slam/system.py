@@ -36,7 +36,10 @@ from ..io.ply import save_gaussians_ply
 from ..ops.rasterizer import RenderConfig, rasterize
 from . import state as slam_state
 from .depth_alignment import process_depth
-from .keyframe import add_to_window, is_keyframe, keyframe_rotation_delta_deg
+from .keyframe import (
+    add_to_window, is_keyframe, keyframe_rotation_delta_deg,
+    visibility_pair_stats, visibility_window_stats,
+)
 from .mapping import (
     MappingConfig, color_refine_run, covisibility_prune, global_ba_run, mapping_run,
 )
@@ -304,15 +307,25 @@ class SLAM:
         return res
 
     def _record_frame(self, idx: int, cam: Camera) -> None:
+        # ONE host round-trip per frame (each np.asarray of a device array
+        # costs a full ~27 ms relay round trip; six of them did not)
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    cam.R.reshape(-1), cam.T, cam.R_gt.reshape(-1), cam.T_gt,
+                    jnp.stack([cam.exposure_a, cam.exposure_b]),
+                ]
+            )
+        )
         self.frames[idx] = {
-            "R": np.asarray(cam.R),
-            "T": np.asarray(cam.T),
-            "R_gt": np.asarray(cam.R_gt),
-            "T_gt": np.asarray(cam.T_gt),
-            "exposure_a": float(cam.exposure_a),
-            "exposure_b": float(cam.exposure_b),
+            "R": packed[0:9].reshape(3, 3),
+            "T": packed[9:12],
+            "R_gt": packed[12:21].reshape(3, 3),
+            "T_gt": packed[21:24],
+            "exposure_a": float(packed[24]),
+            "exposure_b": float(packed[25]),
             "static_mask": np.asarray(cam.static_mask)
-            if bool(cam.has_static_mask)
+            if self.masker is not None and bool(cam.has_static_mask)
             else None,
         }
 
@@ -604,8 +617,20 @@ class SLAM:
 
     def _make_keyframe(self, idx: int, cam: Camera, track_res) -> None:
         curr_vis = track_res.n_touched > 0
+        if self.current_window:
+            occ_stack = jnp.stack(
+                [self.occ_visibility[k] for k in self.current_window]
+            )
+            wstats = np.asarray(visibility_window_stats(curr_vis, occ_stack))
+            ratios = {
+                k: int(wstats[i, 0]) / max(min(int(wstats[i, 1]), int(wstats[i, 2])), 1)
+                for i, k in enumerate(self.current_window)
+            }
+        else:
+            ratios = None
         self.current_window, removed = add_to_window(
             cur_frame_idx=idx,
+            overlap_min_ratios=ratios,
             curr_visibility=curr_vis,
             occ_visibility=self.occ_visibility,
             window=self.current_window,
@@ -647,7 +672,14 @@ class SLAM:
         curr_vis = res.n_touched > 0
 
         static_ratio = (
-            float(cam.static_mask.mean()) if bool(cam.has_static_mask) else None
+            float(cam.static_mask.mean())
+            if self.masker is not None and bool(cam.has_static_mask)
+            else None
+        )
+        # one host fetch for all visibility counts (each separate
+        # int(count_nonzero) costs a ~27 ms relay round trip)
+        stats = np.asarray(
+            visibility_pair_stats(curr_vis, self.occ_visibility[last_kf_idx])
         )
         create_kf = is_keyframe(
             curr_R=self.frames[idx]["R"],
@@ -661,11 +693,12 @@ class SLAM:
             kf_min_translation=self.kf_min_translation,
             kf_overlap=self.kf_overlap,
             static_ratio=static_ratio,
+            overlap_stats=stats,
         )
         if len(self.current_window) < self.window_size:
-            union = int(jnp.count_nonzero(curr_vis | self.occ_visibility[last_kf_idx]))
-            inter = int(jnp.count_nonzero(curr_vis & self.occ_visibility[last_kf_idx]))
-            create_kf = check_time and (inter / max(union, 1)) < self.kf_overlap
+            create_kf = check_time and (
+                int(stats[2]) / max(int(stats[3]), 1)
+            ) < self.kf_overlap
         if self.single_thread:
             create_kf = check_time and create_kf
 
