@@ -191,6 +191,7 @@ def main():
     t0 = time.perf_counter()
     slam.process_frame(WARM_FRAMES)
     log(f"resume frame (incl. compile-cache loads): {time.perf_counter() - t0:.1f}s")
+    slam.timer = type(slam.timer)()  # clean per-phase stats for the timed region
 
     start_idx = WARM_FRAMES + 1
     kf_before = len(slam.kf_indices)

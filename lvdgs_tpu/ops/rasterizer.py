@@ -507,6 +507,7 @@ def _blend_pallas_packed(
     nty: int,
     tile_size: int,
     tile_group: int,
+    need_n_touched: jax.Array | bool = True,
 ):
     """Packed-kernel blending path: gathers only the budgeted slots
     (differentiable — its transpose is the per-Gaussian scatter-add) and
@@ -543,9 +544,20 @@ def _blend_pallas_packed(
     img = acc_t[:, :3, :].transpose(0, 2, 1) + trans_t[..., None] * bg[None, None, :]
     depth_t = acc_t[:, 3, :]
     alpha_t = 1.0 - trans_t
-    n_touched = jnp.zeros((C,), jnp.int32).at[pbins.gid.reshape(-1)].add(
-        nt.reshape(-1), mode="drop"
-    )
+    # the (pairs,)-row int scatter is pure bookkeeping (per-Gaussian touch
+    # counts for visibility/reset logic) consumed only at loop boundaries —
+    # gate it on a traced flag so hot optimisation iterations skip it
+    def _nt(_):
+        return jnp.zeros((C,), jnp.int32).at[pbins.gid.reshape(-1)].add(
+            nt.reshape(-1), mode="drop"
+        )
+
+    if isinstance(need_n_touched, bool):
+        n_touched = _nt(None) if need_n_touched else jnp.zeros((C,), jnp.int32)
+    else:
+        n_touched = jax.lax.cond(
+            need_n_touched, _nt, lambda _: jnp.zeros((C,), jnp.int32), None
+        )
     return img, depth_t, alpha_t, n_touched
 
 
@@ -772,6 +784,7 @@ def rasterize(
     cfg: RenderConfig,
     vs_offset: Optional[jax.Array] = None,
     bins=None,
+    need_n_touched: jax.Array | bool = True,
 ) -> RenderOutput:
     """Low-level differentiable rasterization.
 
@@ -845,6 +858,7 @@ def rasterize(
             nty=nty,
             tile_size=cfg.tile_size,
             tile_group=cfg.tile_group,
+            need_n_touched=need_n_touched,
         )
     elif cfg.use_pallas:
         img_t, depth_t, alpha_t, n_touched = _blend_pallas(

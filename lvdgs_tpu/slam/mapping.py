@@ -146,15 +146,19 @@ def mapping_run(
 
     bg = jnp.full((3,), 1.0 if rcfg.white_background else 0.0, jnp.float32)
 
-    def _cam_loss(p, active, tau_i, ab_i, vs_i, slot, R_i, T_i, w_i, is_w, bins_i):
+    def _cam_loss(p, active, tau_i, ab_i, vs_i, slot, R_i, T_i, w_i, is_w, bins_i,
+                  need_nt=True):
         """Per-camera mapping loss (is_w is a static bool: window vs replay).
 
         `bins_i` is the camera's tile assignment precomputed at the rebin
         period start (stale by <= rebin_every-1 steps; safe because slot
-        indices are stable and pruned slots render at alpha=0)."""
+        indices are stable and pruned slots render at alpha=0). `need_nt`
+        (traced) gates the per-Gaussian touch-count scatter — it is consumed
+        only on opacity-reset and final iterations."""
         cam = camera_from_slot(kfbuf, slot)
         Rn, Tn = lie.apply_delta(R_i, T_i, tau_i)
-        out = rasterize(p, active, Rn, Tn, intr, rcfg, vs_offset=vs_i, bins=bins_i)
+        out = rasterize(p, active, Rn, Tn, intr, rcfg, vs_offset=vs_i, bins=bins_i,
+                        need_n_touched=need_nt)
         gt = cam.image
         d = out.depth[0]
 
@@ -201,7 +205,8 @@ def mapping_run(
         aux = (out.visibility_filter, out.radii, out.n_touched)
         return loss * w_i, aux
 
-    def camera_grads(p, active, abw, Rw, Tw, replay_slots, replay_w, bins):
+    def camera_grads(p, active, abw, Rw, Tw, replay_slots, replay_w, bins,
+                     need_nt):
         """Statically-unrolled per-camera value_and_grad accumulation.
 
         ~2.3x faster than vmapping the cameras on TPU (the vmapped
@@ -222,7 +227,7 @@ def mapping_run(
                     _cam_loss, argnums=(0, 2, 3, 4), has_aux=True
                 )(
                     p, active, zero6, abw[i], vs0, safe_slots[i], Rw[i], Tw[i],
-                    window_valid[i].astype(jnp.float32), True, bins_i,
+                    window_valid[i].astype(jnp.float32), True, bins_i, need_nt,
                 )
                 g_tau.append(gt_)
                 g_ab.append(ga)
@@ -234,6 +239,7 @@ def mapping_run(
                 )(
                     p, active, zero6, kfbuf.exposure_ab[slot], vs0, slot,
                     kfbuf.R[slot], kfbuf.T[slot], replay_w[r], False, bins_i,
+                    need_nt,
                 )
             total = total + li
             g_params = {f: g_params[f] + gp[f] for f in g_params}
@@ -260,7 +266,8 @@ def mapping_run(
             aux,
         )
 
-    def camera_grads_sharded(p, active, abw, Rw, Tw, replay_slots, replay_w, bins):
+    def camera_grads_sharded(p, active, abw, Rw, Tw, replay_slots, replay_w, bins,
+                             need_nt):
         """Camera-data-parallel gradient accumulation over mesh axis "data".
 
         TPU-native scaling of the windowed mapping step (the reference is
@@ -290,7 +297,7 @@ def mapping_run(
 
         from jax.sharding import PartitionSpec as P
 
-        def shard_body(p, active, slots_l, R_l, T_l, ab_l, w_l, bins_l):
+        def shard_body(p, active, need_nt, slots_l, R_l, T_l, ab_l, w_l, bins_l):
             zero6 = jnp.zeros((6,), jnp.float32)
             g_params = {f: jnp.zeros_like(p[f]) for f in p}
             total = jnp.zeros(())
@@ -302,7 +309,7 @@ def mapping_run(
                     _cam_loss, argnums=(0, 2, 3, 4), has_aux=True
                 )(
                     p, active, zero6, ab_l[i], vs0, slots_l[i], R_l[i], T_l[i],
-                    w_l[i], True, bins_i,
+                    w_l[i], True, bins_i, need_nt,
                 )
                 total = total + li
                 g_params = {f: g_params[f] + gp[f] for f in g_params}
@@ -327,12 +334,12 @@ def mapping_run(
         out = jax.shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(pspec, P(), P("data"), P("data"), P("data"), P("data"),
-                      P("data"),
+            in_specs=(pspec, P(), P(), P("data"), P("data"), P("data"),
+                      P("data"), P("data"),
                       jax.tree_util.tree_map(lambda _: P("data"), bins)),
             out_specs=(P(), pspec, P(), P(), P(), P(), P(), P()),
             check_vma=False,
-        )(p, active, slots_all, R_all, T_all, ab_all, w_all, bins_all)
+        )(p, active, need_nt, slots_all, R_all, T_all, ab_all, w_all, bins_all)
         total, g_params, g_tau, g_ab, gvs, vis, radii, nt = out
 
         iso, g_iso = jax.value_and_grad(
@@ -366,6 +373,17 @@ def mapping_run(
         it_count = c.it_count + 1
         local_it = c.local_it + 1
 
+        # per-Gaussian touch counts are consumed only by the opacity-reset
+        # branch and by the FINAL iteration's occ_visibility result — skip
+        # the (pairs,)-row scatter everywhere else
+        if mcfg.initialization:
+            reset_pred = (it_count == mcfg.init_gaussian_reset) | (
+                it_count == mcfg.densify_from_iter
+            )
+        else:
+            reset_pred = (it_count % mcfg.gaussian_reset == 0)
+        need_nt = reset_pred | (local_it >= local_end)
+
         grads_fn = camera_grads_sharded if mesh is not None else camera_grads
         loss, g_params, g_tau, g_ab, gvs_norm, aux = grads_fn(
             c.gmap.params(),
@@ -376,6 +394,7 @@ def mapping_run(
             replay_slots,
             replay_w,
             bins,
+            need_nt,
         )
         vis_all, radii_all, n_touched_all = aux  # (Ncam, C)
 
@@ -588,7 +607,8 @@ def color_refine_run(
 
     def loss_fn(p, active, slot):
         cam = camera_from_slot(kfbuf, slot)
-        out = rasterize(p, active, kfbuf.R[slot], kfbuf.T[slot], intr, rcfg)
+        out = rasterize(p, active, kfbuf.R[slot], kfbuf.T[slot], intr, rcfg,
+                        need_n_touched=False)
 
         def masked(_):
             static = cam.static_mask[None]
@@ -656,7 +676,8 @@ def global_ba_run(
         def loss_fn(p, tau):
             cam = camera_from_slot(kfbuf, slot)
             Rn, Tn = lie.apply_delta(kfbuf.R[slot], kfbuf.T[slot], tau)
-            out = rasterize(p, gmap.active, Rn, Tn, intr, rcfg)
+            out = rasterize(p, gmap.active, Rn, Tn, intr, rcfg,
+                            need_n_touched=False)
             gt = cam.image
             mr = (gt.sum(0) > mcfg.rgb_boundary_threshold)[None].astype(jnp.float32)
             md = (cam.mono_depth > 0.01)[None].astype(jnp.float32)

@@ -508,6 +508,7 @@ class SLAM:
     def _backend_keyframe(self, idx: int, depth) -> None:
         """Reference 'keyframe' message handler (utils/slam_backend.py:530-602)."""
         cam = self._cams[idx]
+        self.timer.tic("kf_seed")
         self._ensure_capacity(self.pcd_downsample)
         self.gmap, self.opt_state = gm.seed_from_depth(
             self.gmap,
@@ -520,6 +521,7 @@ class SLAM:
             adaptive_pointsize=self.adaptive_pointsize,
             opt_state=self.opt_state,
         )
+        self.timer.toc("kf_seed")
         mcfg = self.mcfg
         if not self.initialized:
             if len(self.current_window) == self.window_size:
@@ -538,9 +540,12 @@ class SLAM:
         self.idle_debt = 0
 
         window_slots = self._window_slots()
+        self.timer.tic("kf_mapping")
         self._run_mapping(window_slots, iter_per_kf, mcfg)
+        self.timer.toc("kf_mapping")
 
         # map(prune=True) pass
+        self.timer.tic("kf_prune")
         self.gmap, occ, initialized = covisibility_prune(
             self.gmap,
             self.kfbuf,
@@ -556,6 +561,7 @@ class SLAM:
             self.occ_visibility[kf_idx] = occ[i]
         self._maybe_shrink()
         self._sync_backend()
+        self.timer.toc("kf_prune")
 
     def _window_slots(self) -> jax.Array:
         slots = [self.kf_slots[k] for k in self.current_window]
@@ -564,10 +570,22 @@ class SLAM:
 
     def _sync_backend(self) -> None:
         """Adopt refined keyframe poses/exposures (reference sync_backend,
-        utils/slam_frontend.py:1690-1697)."""
-        R = np.asarray(self.kfbuf.R)
-        T = np.asarray(self.kfbuf.T)
-        ab = np.asarray(self.kfbuf.exposure_ab)
+        utils/slam_frontend.py:1690-1697). One host fetch for all three
+        buffers (each np.asarray costs a relay round trip)."""
+        M = self.kfbuf.capacity
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    self.kfbuf.R.reshape(M, 9),
+                    self.kfbuf.T,
+                    self.kfbuf.exposure_ab,
+                ],
+                axis=1,
+            )
+        )
+        R = packed[:, 0:9].reshape(M, 3, 3)
+        T = packed[:, 9:12]
+        ab = packed[:, 12:14]
         for kf_idx in self.current_window:
             slot = self.kf_slots[kf_idx]
             self.frames[kf_idx]["R"] = R[slot]
@@ -643,9 +661,11 @@ class SLAM:
         if removed is not None:
             self.occ_visibility.pop(removed, None)
 
+        self.timer.tic("kf_fusion")
         depth, cam = self._fused_keyframe_depth(
             idx, cam, track_res.depth[0], track_res.opacity[0], init=False
         )
+        self.timer.toc("kf_fusion")
         self._cams[idx] = cam
         self.kf_indices.append(idx)
         self.kfbuf, slot = slam_state.add_keyframe(self.kfbuf, cam)
@@ -653,7 +673,9 @@ class SLAM:
         self._backend_keyframe(idx, depth)
 
     def process_frame(self, idx: int, sample=None) -> None:
+        self.timer.tic("camera")
         cam = self._build_camera(idx, sample)
+        self.timer.toc("camera")
         if idx == 0 or not self.current_window:
             self._initialize(idx, cam)
             self.frames_processed += 1

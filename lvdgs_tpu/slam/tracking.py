@@ -96,8 +96,13 @@ def track_camera(
     )[None].astype(jnp.float32)
 
     def loss_fn(tau, ab, R, T, bins):
+        # n_touched is consumed only by the keyframe policy AFTER the loop —
+        # its per-Gaussian scatter is skipped on every optimisation step and
+        # recovered with one final render
         Rn, Tn = lie.apply_delta(R, T, tau)
-        out = rasterize(params, active, Rn, Tn, intr, rcfg, bins=bins)
+        out = rasterize(
+            params, active, Rn, Tn, intr, rcfg, bins=bins, need_n_touched=False
+        )
         image_ab = jnp.exp(ab[0]) * out.image + ab[1]
         l1 = out.opacity * jnp.abs(image_ab * rgb_mask - gt * rgb_mask)
         return l1.mean(), out
@@ -179,6 +184,8 @@ def track_camera(
     )
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)
+    # one exact render at the converged pose for the visibility bookkeeping
+    final = rasterize(params, active, s.R, s.T, intr, rcfg)
     return TrackResult(
         R=s.R,
         T=s.T,
@@ -187,7 +194,7 @@ def track_camera(
         image=s.image,
         depth=s.depth,
         opacity=s.opacity,
-        n_touched=s.n_touched,
+        n_touched=final.n_touched,
         median_depth=median_depth,
         iterations=s.it,
         loss=s.loss,
@@ -285,7 +292,7 @@ def track_camera_sharded(
                 ti_l, sv_l, C, tile_group=TG, slot_budget_per_tile=budget
             )
 
-        def render_local(tau, R, T, pbins):
+        def render_local(tau, R, T, pbins, need_nt=True):
             Rn, Tn = lie.apply_delta(R, T, tau)
             proj = project_gaussians(
                 params["means"], params["quats"], params["log_scales"], active,
@@ -326,13 +333,18 @@ def track_camera_sharded(
             alpha = (1.0 - trans_t).reshape(rows_per, ntx_p, ts, ts).transpose(
                 0, 2, 1, 3
             ).reshape(1, rows_per * ts, Wp)
-            n_touched = jnp.zeros((C,), jnp.int32).at[pbins.gid.reshape(-1)].add(
-                nt.reshape(-1), mode="drop"
-            )
+            if need_nt:
+                n_touched = jnp.zeros((C,), jnp.int32).at[
+                    pbins.gid.reshape(-1)
+                ].add(nt.reshape(-1), mode="drop")
+            else:
+                n_touched = jnp.zeros((C,), jnp.int32)
             return img, dep, alpha, n_touched
 
         def loss_fn(tau, ab, R, T, pbins):
-            img, dep, alpha, n_touched = render_local(tau, R, T, pbins)
+            img, dep, alpha, n_touched = render_local(
+                tau, R, T, pbins, need_nt=False
+            )
             image_ab = jnp.exp(ab[0]) * img + ab[1]
             l1 = alpha * jnp.abs(image_ab * maskl_c - gt_l * maskl_c)
             loss_local = l1.sum() / (3.0 * H * W)
@@ -414,11 +426,16 @@ def track_camera_sharded(
         )
         s = jax.lax.while_loop(outer_cond, outer_body, init)
 
+        # one exact local render at the converged pose for the visibility
+        # bookkeeping (skipped on every optimisation step)
+        fbins = local_bins(s.R, s.T)
+        _fi, _fd, _fa, nt_final = render_local(jnp.zeros(6), s.R, s.T, fbins)
+
         # reassemble the full frame: one all_gather of the local row blocks
         img_full = jax.lax.all_gather(s.img, "data", axis=1, tiled=True)
         dep_full = jax.lax.all_gather(s.dep, "data", axis=1, tiled=True)
         alpha_full = jax.lax.all_gather(s.alpha, "data", axis=1, tiled=True)
-        nt_full = jax.lax.psum(s.nt, "data")
+        nt_full = jax.lax.psum(nt_final, "data")
         return (s.R, s.T, s.ab, img_full, dep_full, alpha_full, nt_full,
                 s.it, s.loss)
 
