@@ -67,7 +67,9 @@ class RenderConfig:
     # blending backend: Pallas TPU kernel (VMEM-resident, per-tile early
     # exit) vs the pure-XLA scan. Pallas runs in interpreter mode on CPU.
     use_pallas: bool = True
-    tile_group: int = 8
+    # 16 tiles per kernel grid step: halves the per-chunk/group overhead of
+    # the blend kernels (packed f+b 13.8 -> 11.7 ms at steady-state density)
+    tile_group: int = 16
     # approx_max_k (TPU PartialReduce) for the binning top-k selections —
     # ~0.95 recall of the front-most candidates, large speedup over sort
     use_approx_topk: bool = True

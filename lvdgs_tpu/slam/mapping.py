@@ -542,15 +542,22 @@ def mapping_run(
             replay_w = jnp.zeros_like(replay_w)
 
         # bin all Ncam cameras once at the current poses with a pixel
-        # margin; reused for the whole period (same scheme as tracking)
+        # margin; reused for the whole period (same scheme as tracking).
+        # Statically unrolled rather than vmapped for the same reason as
+        # camera_grads: XLA overlaps the per-camera programs
         p = c.gmap.params()
         R_all = jnp.concatenate([c.Rw, kfbuf.R[replay_slots]], 0)
         T_all = jnp.concatenate([c.Tw, kfbuf.T[replay_slots]], 0)
-        bins = jax.vmap(
-            lambda R_, t_: prepare_bins(
-                p, c.gmap.active, R_, t_, intr, rcfg, margin=mcfg.bin_margin
+        bins_list = [
+            prepare_bins(
+                p, c.gmap.active, R_all[i], T_all[i], intr, rcfg,
+                margin=mcfg.bin_margin,
             )
-        )(R_all, T_all)
+            for i in range(Ncam)
+        ]
+        bins = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *bins_list
+        )
         c = c._replace(rng=rng)
 
         stop_at = jnp.minimum(c.local_it + mcfg.rebin_every, local_end)

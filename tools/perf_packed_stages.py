@@ -42,7 +42,8 @@ def main():
     intr = slam.intr
     budget = int(os.environ.get("BUDGET", "160"))
     cfg = dataclasses.replace(slam.rcfg, use_packed=True,
-                              slot_budget_per_tile=budget)
+                              slot_budget_per_tile=budget,
+                              tile_group=int(os.environ.get("TG", "8")))
     p = slam.gmap.params()
     active = slam.gmap.active
     C = p["means"].shape[0]
