@@ -76,8 +76,8 @@ class MappingConfig:
     # gaussian/model.py::_alloc_destinations). Replay keyframes are
     # resampled at the same cadence. `rebin_every=1` reproduces the
     # reference's every-iteration behaviour exactly.
-    rebin_every: int = 10
-    bin_margin: float = 8.0
+    rebin_every: int = 20
+    bin_margin: float = 16.0
 
 
 class MappingResult(NamedTuple):

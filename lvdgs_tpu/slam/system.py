@@ -157,8 +157,8 @@ class SLAM:
             size_threshold=tr.get("size_threshold", 20),
             monocular=self.monocular,
             use_masked_loss=masker is not None,
-            rebin_every=perf.get("rebin_every", 10),
-            bin_margin=perf.get("bin_margin", 8.0),
+            rebin_every=perf.get("rebin_every", 20),
+            bin_margin=perf.get("bin_margin", 16.0),
         )
         self.mcfg = MappingConfig(**common)
         self.mcfg_ba = MappingConfig(

@@ -39,9 +39,11 @@ class TrackingConfig:
     adam_eps: float = 1e-8
     # tile binning is recomputed every `rebin_every` steps with a
     # `bin_margin`-pixel radius slack (pose deltas per Adam step are
-    # sub-pixel, so the assignment stays valid between rebins)
-    rebin_every: int = 10
-    bin_margin: float = 8.0
+    # sub-pixel, so the assignment stays valid between rebins; two-priority
+    # margin selection keeps blend order exact). 20/16 measured
+    # quality-neutral and ~8% faster than 10/8 (tools: /tmp rebin probe)
+    rebin_every: int = 20
+    bin_margin: float = 16.0
 
 
 class TrackState(NamedTuple):
