@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from lvdgs_tpu.core.config import load_config
 from lvdgs_tpu.slam.system import SLAM
 
