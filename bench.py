@@ -37,7 +37,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_ca
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 # bump when SLAM state semantics change enough to invalidate cached states
-BENCH_STATE_VERSION = 2
+# (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1)
+BENCH_STATE_VERSION = 3
 WARM_FRAMES = 44  # frames 0..43 build the initialized steady state
 TIMED_FRAMES = 12  # frames timed after one untimed resume frame
 TOTAL_FRAMES = WARM_FRAMES + 1 + TIMED_FRAMES
@@ -109,10 +110,12 @@ def build_config():
 def state_key(config) -> str:
     """Hash of everything that affects the cached warm state's validity.
 
-    Renderer performance knobs (packed layout, tile grouping, ...) are
-    deliberately excluded: they change speed, not the semantic validity of a
-    warm SLAM state — only state SHAPES (capacities, resolution) and the
-    trajectory-defining dataset/training settings force a rebuild."""
+    Pure scheduling knobs (tile grouping, chunk sizes, dispatch limits) are
+    excluded: they change speed, not numerics. Knobs that change NUMERICS —
+    the packed slot budgets (budget-capped renders alter poses, keyframe
+    cadence, and map content), state shapes (capacities, resolution), and
+    the trajectory-defining dataset/training settings — all force a rebuild
+    (ADVICE r1)."""
     perf = config["Performance"]
     payload = json.dumps(
         {
@@ -123,6 +126,13 @@ def state_key(config) -> str:
             "shapes": {
                 "map_capacity": perf.get("map_capacity"),
                 "kf_capacity": perf.get("kf_capacity"),
+            },
+            "numerics": {
+                "packed_tracking_budget": perf.get("packed_tracking_budget"),
+                "packed_mapping_budget": perf.get("packed_mapping_budget"),
+                "max_per_tile": perf.get("max_per_tile"),
+                "rebin_every": perf.get("rebin_every"),
+                "bin_margin": perf.get("bin_margin"),
             },
         },
         sort_keys=True,

@@ -279,6 +279,25 @@ def seed_from_depth(
     return out, zero_adam_slots(opt_state, dest)
 
 
+def _seed_step_impl(gmap, cam, depth, kf_id, opt_state, *, intr, downsample,
+                    point_size, adaptive_pointsize):
+    return seed_from_depth(
+        gmap, cam, depth, intr,
+        kf_id=kf_id, downsample=downsample, point_size=point_size,
+        adaptive_pointsize=adaptive_pointsize, opt_state=opt_state,
+    )
+
+
+# One-dispatch seeding for the SLAM hot path: eager op-by-op execution of
+# seed_from_depth costs ~60 separate dispatches (each a relay round trip on
+# the tunnel — measured 3.6 s/keyframe in round 1); jitted it is one.
+seed_step = jax.jit(
+    _seed_step_impl,
+    static_argnames=("intr", "downsample", "point_size", "adaptive_pointsize"),
+    donate_argnames=("gmap", "opt_state"),
+)
+
+
 # ---------------------------------------------------------------------------
 # densification / pruning (3DGS semantics at static shape)
 

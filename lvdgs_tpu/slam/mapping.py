@@ -741,6 +741,15 @@ def covisibility_prune(
         return out.n_touched > 0
 
     occ_vis = jax.lax.map(per_cam, safe_slots) & window_valid[:, None]
+    return _prune_from_occ(
+        gmap, occ_vis, window_valid, safe_slots, kfbuf, initialized,
+        prune_num=prune_num, window_size=window_size,
+    )
+
+
+def _prune_from_occ(gmap, occ_vis, window_valid, safe_slots, kfbuf, initialized,
+                    *, prune_num, window_size):
+    Ws = window_valid.shape[0]
     n_obs = occ_vis.sum(axis=0).astype(jnp.int32)
     gmap = gmap.replace(n_obs=n_obs)
 
@@ -756,3 +765,33 @@ def covisibility_prune(
     gmap = gm.prune_points(gmap, to_prune)
     occ_vis = occ_vis & ~to_prune[None, :]
     return gmap, occ_vis, initialized | full_window
+
+
+@functools.partial(jax.jit, static_argnames=("prune_num", "window_size"))
+def covisibility_prune_from_occ(
+    gmap: gm.GaussianMap,
+    kfbuf: KeyframeBuffer,
+    window_slots: jax.Array,
+    occ_vis: jax.Array,  # (Ws, C) bool — a mapping run's final-iteration visibility
+    initialized: jax.Array,
+    *,
+    prune_num: int,
+    window_size: int,
+):
+    """`map(prune=True)` semantics reusing the visibility the windowed
+    mapping run already computed on its final iteration, instead of
+    re-rendering all window cameras (saves ~0.6 s/KF at bench shapes).
+
+    Parity note: the reference prune branch also uses pre-optimizer-step
+    visibility from the same iteration's renders
+    (utils/slam_backend.py:311-348), so this is the closer match; the
+    re-rendering variant (`covisibility_prune`) is one Adam step fresher
+    and stays available behind Performance.exact_prune_visibility."""
+    M = kfbuf.capacity
+    window_valid = window_slots >= 0
+    safe_slots = jnp.clip(window_slots, 0, M - 1)
+    occ_vis = occ_vis & window_valid[:, None]
+    return _prune_from_occ(
+        gmap, occ_vis, window_valid, safe_slots, kfbuf, initialized,
+        prune_num=prune_num, window_size=window_size,
+    )

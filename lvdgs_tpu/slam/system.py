@@ -41,7 +41,8 @@ from .keyframe import (
     visibility_pair_stats, visibility_window_stats,
 )
 from .mapping import (
-    MappingConfig, color_refine_run, covisibility_prune, global_ba_run, mapping_run,
+    MappingConfig, color_refine_run, covisibility_prune,
+    covisibility_prune_from_occ, global_ba_run, mapping_run,
 )
 from .tracking import TrackingConfig, track_camera, track_camera_sharded
 
@@ -244,6 +245,12 @@ class SLAM:
         self.timer = PhaseTimer()
         self.frames_processed = 0
         self._cams: Dict[int, Camera] = {}
+
+        # prune visibility source: False (default) reuses the mapping run's
+        # final-iteration occ_visibility (reference-parity pre-step
+        # visibility, no extra renders); True re-renders the window with the
+        # exact dense config (one Adam step fresher, ~0.6 s/KF slower)
+        self.exact_prune_visibility = perf.get("exact_prune_visibility", False)
 
         # device programs running longer than ~60 s get killed by the TPU
         # relay; mapping/refinement calls are chunked below this many
@@ -488,16 +495,16 @@ class SLAM:
     def _backend_init(self, idx: int, cam: Camera, depth) -> None:
         """Reference 'init' message handler (utils/slam_backend.py:514-528)."""
         self._ensure_capacity(self.pcd_downsample_init)
-        self.gmap, self.opt_state = gm.seed_from_depth(
+        self.gmap, self.opt_state = gm.seed_step(
             self.gmap,
             cam,
             depth,
-            self.intr,
-            kf_id=idx,
+            jnp.asarray(idx, jnp.int32),
+            self.opt_state,
+            intr=self.intr,
             downsample=self.pcd_downsample_init,
             point_size=self.point_size,
             adaptive_pointsize=self.adaptive_pointsize,
-            opt_state=self.opt_state,
         )
         res = self._run_mapping(
             jnp.asarray([self.kf_slots[idx]], jnp.int32), self.init_itr_num, self.mcfg_init
@@ -510,16 +517,16 @@ class SLAM:
         cam = self._cams[idx]
         self.timer.tic("kf_seed")
         self._ensure_capacity(self.pcd_downsample)
-        self.gmap, self.opt_state = gm.seed_from_depth(
+        self.gmap, self.opt_state = gm.seed_step(
             self.gmap,
             cam,
             depth,
-            self.intr,
-            kf_id=idx,
+            jnp.asarray(idx, jnp.int32),
+            self.opt_state,
+            intr=self.intr,
             downsample=self.pcd_downsample,
             point_size=self.point_size,
             adaptive_pointsize=self.adaptive_pointsize,
-            opt_state=self.opt_state,
         )
         self.timer.toc("kf_seed")
         mcfg = self.mcfg
@@ -541,27 +548,42 @@ class SLAM:
 
         window_slots = self._window_slots()
         self.timer.tic("kf_mapping")
-        self._run_mapping(window_slots, iter_per_kf, mcfg)
+        res = self._run_mapping(window_slots, iter_per_kf, mcfg)
         self.timer.toc("kf_mapping")
 
         # map(prune=True) pass
         self.timer.tic("kf_prune")
-        self.gmap, occ, initialized = covisibility_prune(
-            self.gmap,
-            self.kfbuf,
-            window_slots,
-            jnp.asarray(self.initialized),
-            intr=self.intr,
-            rcfg=self.rcfg,
-            prune_num=self.prune_num,
-            window_size=self.window_size,
-        )
+        self.gmap, occ, initialized = self._prune(window_slots, res)
         self.initialized = bool(initialized)
         for i, kf_idx in enumerate(self.current_window):
             self.occ_visibility[kf_idx] = occ[i]
         self._maybe_shrink()
         self._sync_backend()
         self.timer.toc("kf_prune")
+
+    def _prune(self, window_slots, mapping_res):
+        """Covisibility prune, sourcing visibility per the
+        exact_prune_visibility knob (see __init__)."""
+        if self.exact_prune_visibility or mapping_res is None:
+            return covisibility_prune(
+                self.gmap,
+                self.kfbuf,
+                window_slots,
+                jnp.asarray(self.initialized),
+                intr=self.intr,
+                rcfg=self.rcfg,
+                prune_num=self.prune_num,
+                window_size=self.window_size,
+            )
+        return covisibility_prune_from_occ(
+            self.gmap,
+            self.kfbuf,
+            window_slots,
+            mapping_res.occ_visibility,
+            jnp.asarray(self.initialized),
+            prune_num=self.prune_num,
+            window_size=self.window_size,
+        )
 
     def _window_slots(self) -> jax.Array:
         slots = [self.kf_slots[k] for k in self.current_window]
@@ -737,23 +759,21 @@ class SLAM:
             # same iteration budget, but binning/dispatch overheads amortise
             # over the burst instead of being paid per frame (a 1-iteration
             # dispatch is ~70% overhead, see PERFORMANCE.md cost model).
+            # DIVERGENCE from the reference: between flushes, frames are
+            # tracked against a map up to 9 frames staler than the
+            # reference's continuous 1-iter-per-frame idle mapping. This is
+            # an interleaving change, not just a scheduling one; validated
+            # on the synthetic bench only (ADVICE r1).
             self.timer.tic("idle_mapping")
             self.idle_debt += 1
             self.last_sent += 1
             if self.last_sent >= 10:
-                self._run_mapping(
+                idle_res = self._run_mapping(
                     self._window_slots(), 10 + self.idle_debt, self.mcfg
                 )
                 self.idle_debt = 0
-                self.gmap, occ, initialized = covisibility_prune(
-                    self.gmap,
-                    self.kfbuf,
-                    self._window_slots(),
-                    jnp.asarray(self.initialized),
-                    intr=self.intr,
-                    rcfg=self.rcfg,
-                    prune_num=self.prune_num,
-                    window_size=self.window_size,
+                self.gmap, occ, initialized = self._prune(
+                    self._window_slots(), idle_res
                 )
                 self.initialized = bool(initialized)
                 for i, kf_idx in enumerate(self.current_window):
@@ -819,6 +839,8 @@ class SLAM:
                 "median_depth": self.median_depth,
                 "frames_processed": self.frames_processed,
                 "rng": np.asarray(self.rng),
+                "idle_debt": self.idle_debt,
+                "last_sent": self.last_sent,
             },
         )
 
@@ -851,6 +873,9 @@ class SLAM:
         self.median_depth = float(st["median_depth"])
         self.frames_processed = int(st["frames_processed"])
         self.rng = jnp.asarray(st["rng"])
+        # old checkpoints predate these counters; default to a fresh cadence
+        self.idle_debt = int(st.get("idle_debt", 0))
+        self.last_sent = int(st.get("last_sent", 0))
 
     def global_ba(self, iters: Optional[int] = None) -> None:
         """Photometric global bundle adjustment over all keyframes (the

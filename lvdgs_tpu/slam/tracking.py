@@ -186,8 +186,13 @@ def track_camera(
     )
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)
-    # one exact render at the converged pose for the visibility bookkeeping
-    final = rasterize(params, active, s.R, s.T, intr, rcfg)
+    # one exact render at the converged pose for the visibility bookkeeping.
+    # Deliberately DENSE even when the optimisation used a packed slot
+    # budget: a binding budget drops deep-tile Gaussians (n_touched=0),
+    # which would silently skew curr_vis and hence keyframe selection /
+    # window-eviction overlap ratios (ADVICE r1).
+    rcfg_exact = dataclasses.replace(rcfg, use_packed=False)
+    final = rasterize(params, active, s.R, s.T, intr, rcfg_exact)
     return TrackResult(
         R=s.R,
         T=s.T,

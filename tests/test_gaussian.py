@@ -45,6 +45,37 @@ def test_seed_from_depth_fills_slots():
     assert cols.min() >= 0.0 and cols.max() <= 1.0
 
 
+def test_seed_step_matches_eager():
+    """The one-dispatch jitted seeding (gm.seed_step, the SLAM hot path)
+    must produce the same map and Adam-state surgery as the eager op path."""
+    cam, depth = _camera_with_depth(seed=7)
+    depth = depth.at[5:9].set(0.0)
+    gmap = gm.create_map(2048)
+    opt = gm.MapOptimizer()
+    opt_state = opt.init(gmap)
+
+    g_eager, s_eager = gm.seed_from_depth(
+        gmap, cam, depth, INTR, kf_id=4, downsample=4, opt_state=opt_state
+    )
+    g_jit, s_jit = gm.seed_step(
+        gmap, cam, depth, jnp.asarray(4, jnp.int32), opt.init(gmap),
+        intr=INTR, downsample=4, point_size=0.01, adaptive_pointsize=True,
+    )
+    for f in gm.PARAM_FIELDS:
+        # jit fuses the backprojection math differently -> float-epsilon
+        # differences; allocation/masks must be exact
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_eager, f)), np.asarray(getattr(g_jit, f)),
+            atol=1e-5, rtol=1e-6,
+        )
+    np.testing.assert_array_equal(np.asarray(g_eager.active), np.asarray(g_jit.active))
+    np.testing.assert_array_equal(
+        np.asarray(g_eager.unique_kf_ids), np.asarray(g_jit.unique_kf_ids)
+    )
+    for f in gm.PARAM_FIELDS:
+        np.testing.assert_array_equal(np.asarray(s_eager.m[f]), np.asarray(s_jit.m[f]))
+
+
 def test_seed_capacity_overflow():
     cam, depth = _camera_with_depth()
     gmap = gm.create_map(100)  # less capacity than candidates

@@ -191,6 +191,31 @@ def test_mapping_window_with_replay_and_pose_refinement():
     assert bool(initialized)
     assert int(g2.num_active) <= int(res.gmap.num_active)
 
+    # from_occ variant: fed the same visibility the render path computes,
+    # it must make identical prune decisions
+    from lvdgs_tpu.slam.mapping import covisibility_prune_from_occ
+
+    def exact_occ(slot):
+        out = rasterize(
+            res.gmap.params(), res.gmap.active, res.kfbuf.R[slot],
+            res.kfbuf.T[slot], INTR, CFG,
+        )
+        return out.n_touched > 0
+
+    occ_in = jnp.stack([exact_occ(s) for s in np.asarray(window)])
+    g3, occ3, init3 = covisibility_prune_from_occ(
+        res.gmap,
+        res.kfbuf,
+        window,
+        occ_in,
+        jnp.asarray(False),
+        prune_num=1,
+        window_size=4,
+    )
+    assert bool(init3) == bool(initialized)
+    np.testing.assert_array_equal(np.asarray(g3.active), np.asarray(g2.active))
+    np.testing.assert_array_equal(np.asarray(occ3), np.asarray(occ))
+
 
 def test_mapping_partial_window_padded():
     buf, gmap, *_ = _make_kfbuf_and_map(seed=5)
