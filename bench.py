@@ -37,8 +37,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_ca
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 # bump when SLAM state semantics change enough to invalidate cached states
-# (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1)
-BENCH_STATE_VERSION = 3
+# (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1;
+#  v4: saturation-feedback packing at budget 128 + pose-linearized tracking)
+BENCH_STATE_VERSION = 4
 WARM_FRAMES = 44  # frames 0..43 build the initialized steady state
 TIMED_FRAMES = 12  # frames timed after one untimed resume frame
 TOTAL_FRAMES = WARM_FRAMES + 1 + TIMED_FRAMES

@@ -211,8 +211,14 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
         "feat_map": s.lin("feat_map"),
         "input_proj": input_proj,
         "level_embed": s.raw(f"{tr}.level_embed"),
-        "text_pos_embed": s.raw(f"{tr}.encoder.text_layers.0.self_attn_pos")  # may be absent
-        or np.zeros((cfg.max_text_len, cfg.dim), np.float32),
+        # learned text positional embedding may be absent (computed in the
+        # official model); explicit None check — `arr or default` would
+        # raise on a present multi-element array
+        "text_pos_embed": (
+            np.asarray(sd[f"{tr}.encoder.text_layers.0.self_attn_pos"])
+            if f"{tr}.encoder.text_layers.0.self_attn_pos" in sd
+            else np.zeros((cfg.max_text_len, cfg.dim), np.float32)
+        ),
         "enc_layers": enc_layers,
         "enc_output": s.lin(f"{tr}.enc_output"),
         "enc_output_ln": s.ln(f"{tr}.enc_output_norm"),

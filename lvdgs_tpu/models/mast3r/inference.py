@@ -182,6 +182,24 @@ def find_scale(model: MASt3RInference, img1, img2, depth1, depth2):
 # SLAM plug-ins
 
 
+def make_scale_remedy(model: MASt3RInference):
+    """Scale-remedy plug-in for SLAM._fused_keyframe_depth: when patch
+    alignment finds too few accurate pixels, recompute the scale as the
+    cross-keyframe matched-depth ratio (reference process_depth fallback,
+    utils/depth_utils.py:108-118 calling find_scale :16-57)."""
+
+    def scale_remedy(cam, last_kf_cam) -> float:
+        return find_scale(
+            model,
+            np.asarray(last_kf_cam.image),
+            np.asarray(cam.image),
+            np.asarray(last_kf_cam.mono_depth),
+            np.asarray(cam.mono_depth),
+        )
+
+    return scale_remedy
+
+
 def make_depth_prior(model: MASt3RInference, intr: Intrinsics):
     def depth_prior(image) -> np.ndarray:
         return get_depth(model, np.asarray(image), (intr.height, intr.width))

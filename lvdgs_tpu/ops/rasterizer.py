@@ -86,6 +86,17 @@ class RenderConfig:
     # tools/perf_track_quality.py).
     use_packed: bool = False
     slot_budget_per_tile: int = 128
+    # saturation feedback (prepare_bins): after the normal pack, run one
+    # gradient-free probe blend, cap each SATURATED tile at its measured
+    # useful depth (+ slack), and repack — the waterfill hands the released
+    # chunk budget to deep unsaturated tiles, so a small static budget
+    # keeps near-exact quality (the uniform-budget quality cliff measured
+    # in round 1 came from truncating unsaturated tiles)
+    saturation_feedback: bool = False
+    # per-pixel error tolerance of feedback truncation: a tile is capped
+    # where the suffix sum of its slots' max blend weights falls below this
+    # (default: one 8-bit LSB)
+    feedback_tol: float = 1.0 / 255.0
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -419,11 +430,20 @@ class PackedBins(NamedTuple):
          C = empty (renders at alpha 0 through the sentinel field row).
     cg:  (NB,) int32 tile-group of each chunk (n_groups = padding sentinel).
     k0:  (NB,) int32 slot offset of the chunk within its group's lists.
+    kalloc: (T_pad,) int32 slots actually allocated per TILE (tile order;
+         after the waterfill cap and any tile_cap) — saturation feedback.
+    tids: (NB, TG) int32 tile id per (chunk, lane) — groups may hold
+         arbitrary tile sets when packed with sort_by_depth.
+    inv: (T_pad,) int32 position of tile t in the group-major layout
+         (inverse of the sort permutation; identity when unsorted).
     """
 
     gid: jax.Array
     cg: jax.Array
     k0: jax.Array
+    kalloc: jax.Array
+    tids: jax.Array
+    inv: jax.Array
 
 
 def pack_bins(
@@ -433,6 +453,8 @@ def pack_bins(
     *,
     tile_group: int,
     slot_budget_per_tile: int,
+    tile_cap: jax.Array | None = None,  # (T,) int32 per-tile depth cap
+    sort_by_depth: bool = False,
 ) -> PackedBins:
     """Pack dense (T, K) slot lists into ragged per-group chunk lists.
 
@@ -442,7 +464,14 @@ def pack_bins(
     NB = T_pad * slot_budget_per_tile / (KC * TG). When the budget does not
     bind (the typical case: budget 128/tile vs ~70 average occupancy,
     tools/perf_saturation.py) the packed lists hold exactly the same slots
-    in the same depth order as the dense layout."""
+    in the same depth order as the dense layout.
+
+    `tile_cap` is the saturation-feedback hook: a per-tile upper bound on
+    useful blend depth (e.g. the last slot that contributed before the
+    transmittance floor, measured by a probe render — see
+    saturation_caps()). Saturated tiles then stop hogging chunk budget and
+    the waterfill redistributes it to deep unsaturated tiles, so a small
+    static budget keeps near-exact quality."""
     from .rasterizer_pallas import KC
 
     T, K = tile_idx.shape
@@ -453,10 +482,23 @@ def pack_bins(
     NB = (T_pad * slot_budget_per_tile) // (KC * TG)
 
     counts = slot_valid.sum(axis=1).astype(jnp.int32)
+    if tile_cap is not None:
+        counts = jnp.minimum(counts, jnp.maximum(tile_cap.astype(jnp.int32), 0))
     if T_pad != T:
         counts = jnp.pad(counts, (0, T_pad - T))
         tile_idx = jnp.pad(tile_idx, ((0, T_pad - T), (0, 0)), constant_values=C)
-    gmax = counts.reshape(G, TG).max(axis=1)
+
+    # group assignment: contiguous tiles, or tiles of SIMILAR depth
+    # (descending-count order). Chunk allocation is per group at the
+    # group-max depth, so one deep tile inflates its whole group's
+    # allocation — depth-sorted grouping makes group-max ~= group-mean and
+    # lets per-tile caps actually release budget.
+    if sort_by_depth:
+        perm = jnp.argsort(-counts, stable=True).astype(jnp.int32)
+    else:
+        perm = jnp.arange(T_pad, dtype=jnp.int32)
+    counts_s = counts[perm]
+    gmax = counts_s.reshape(G, TG).max(axis=1)
 
     def nchunks(theta):
         return jnp.maximum(-(-jnp.minimum(gmax, theta) // KC), 1)
@@ -474,7 +516,7 @@ def pack_bins(
     lo, hi = jax.lax.fori_loop(0, n_iter, wf_body, (lo, hi))
     theta = lo
 
-    kalloc = jnp.minimum(counts, theta)  # (T_pad,)
+    kalloc_s = jnp.minimum(counts_s, theta)  # (T_pad,) sorted order
     nch = nchunks(theta)  # (G,)
     cum = jnp.cumsum(nch)
     start_g = cum - nch
@@ -483,17 +525,66 @@ def pack_bins(
     safe_g = jnp.minimum(cg, G - 1)
     k0 = jnp.where(cg < G, (bids - start_g[safe_g]) * KC, KC)
 
-    t_of = safe_g[:, None] * TG + jnp.arange(TG, dtype=jnp.int32)[None, :]  # (NB, TG)
+    pos_of = safe_g[:, None] * TG + jnp.arange(TG, dtype=jnp.int32)[None, :]  # (NB, TG)
+    tids = perm[pos_of]  # (NB, TG) actual tile ids
     k_of = k0[:, None] + jnp.arange(KC, dtype=jnp.int32)[None, :]  # (NB, KC)
     valid = (cg < G)[:, None, None] & (
-        k_of[:, :, None] < kalloc[t_of][:, None, :]
+        k_of[:, :, None] < kalloc_s[pos_of][:, None, :]
     )  # (NB, KC, TG)
     gid = jnp.where(
         valid,
-        tile_idx[t_of[:, None, :], jnp.minimum(k_of, K - 1)[:, :, None]],
+        tile_idx[tids[:, None, :], jnp.minimum(k_of, K - 1)[:, :, None]],
         C,
     )
-    return PackedBins(gid=gid, cg=cg, k0=k0)
+    # inverse permutation via argsort (two same-index scatters would fuse
+    # into a variadic scatter that crashes the TPU scatter emitter)
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    kalloc = kalloc_s[inv]
+    return PackedBins(gid=gid, cg=cg, k0=k0, kalloc=kalloc, tids=tids, inv=inv)
+
+
+def saturation_caps(
+    pbins: PackedBins,
+    wmax: jax.Array,  # (NB, KC, TG) per-slot max blend weight x65536 (probe)
+    T: int,
+    *,
+    tile_group: int,
+    max_per_tile: int,
+    tol: float = 1.0 / 255.0,
+) -> jax.Array:
+    """Per-tile useful blend depth from a probe render (saturation feedback).
+
+    For each tile, suffix-sum the per-slot max blend weights back-to-front
+    at chunk (KC-slot) granularity — the same granularity the packer
+    allocates at — and cap the tile at the last chunk whose remaining total
+    exceeds `tol`. Dropping everything past the cap then changes any pixel
+    by at most ~tol (one 8-bit LSB by default). Tiles whose measured tail
+    still carries weight (possibly waterfill-truncated in the probe) stay
+    uncapped; the waterfill in pack_bins hands them the chunk budget the
+    capped tiles released."""
+    from .rasterizer_pallas import KC
+
+    TG = tile_group
+    NB = wmax.shape[0]
+    T_pad = pbins.kalloc.shape[0]
+    n_groups = T_pad // TG
+    MC = max(max_per_tile // KC, 1)  # chunk ordinals per tile
+    chunk_w = wmax.astype(jnp.float32).sum(axis=1) * (1.0 / 65536.0)  # (NB, TG)
+    ord_of = jnp.minimum(pbins.k0 // KC, MC - 1)  # (NB,)
+    t_of = jnp.where(pbins.cg[:, None] < n_groups, pbins.tids, T_pad)
+    # flat 1D scatter (2D-indexed scatter trips the TPU scatter emitter)
+    flat_idx = t_of * MC + ord_of[:, None]  # (NB, TG)
+    dense = (
+        jnp.zeros(((T_pad + 1) * MC,), jnp.float32)
+        .at[flat_idx.reshape(-1)]
+        .add(chunk_w.reshape(-1), mode="drop")
+    ).reshape(T_pad + 1, MC)[:T]  # (T, MC)
+    suffix = jnp.cumsum(dense[:, ::-1], axis=1)[:, ::-1]  # (T, MC)
+    keep = suffix > tol
+    cap = KC * (
+        MC - jnp.argmax(keep[:, ::-1].astype(jnp.int32), axis=1)
+    ) * keep.any(axis=1)
+    return jnp.where(cap < pbins.kalloc[:T], cap, max_per_tile)
 
 
 def _blend_pallas_packed(
@@ -538,11 +629,14 @@ def _blend_pallas_packed(
 
     interpret = jax.default_backend() == "cpu"
     acc, trans, nt = pallas_blend_packed(
-        tp, pbins.cg, pbins.k0, jnp.zeros((1,), jnp.int32), ntx, nty, tile_size,
-        TG, n_groups, interpret,
+        tp, pbins.cg, pbins.k0, jnp.zeros((1,), jnp.int32), pbins.tids,
+        ntx, nty, tile_size, TG, n_groups, interpret,
     )
-    acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[:T]
-    trans_t = trans[:n_groups].reshape(n_groups * TG, P)[:T]
+    # kernel rows are in group-major (possibly depth-sorted) order; map back
+    # to tile order through the pack's inverse permutation
+    take = pbins.inv[:T]
+    acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
+    trans_t = trans[:n_groups].reshape(n_groups * TG, P)[take]
     img = acc_t[:, :3, :].transpose(0, 2, 1) + trans_t[..., None] * bg[None, None, :]
     depth_t = acc_t[:, 3, :]
     alpha_t = 1.0 - trans_t
@@ -561,6 +655,128 @@ def _blend_pallas_packed(
             need_n_touched, _nt, lambda _: jnp.zeros((C,), jnp.int32), None
         )
     return img, depth_t, alpha_t, n_touched
+
+
+def rasterize_pose_lin(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    tau: jax.Array,  # (6,) se(3) delta — the ONLY differentiable input
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    bins: PackedBins,
+    need_n_touched: jax.Array | bool = False,
+) -> RenderOutput:
+    """Pose-delta-linearized packed rasterization for tracking.
+
+    Equivalent to `rasterize(params, active, *apply_delta(R, t, tau), ...)`
+    in VALUE at tau=0 (bitwise: the linearized gathered fields reduce to the
+    plain gather there) and in tau-GRADIENT at tau=0 (chain rule through the
+    linearization point) — but the backward contracts the kernel's
+    per-row field gradients against pre-gathered per-row pose Jacobians
+    instead of scatter-adding them back to the (C,10) field table and
+    transposing the projection. That removes tracking's dominant backward
+    cost: the row-serialized scatter (~21 ns/row, PERFORMANCE.md) and the
+    projection transpose, for the price of widening the (row-serialized,
+    width-insensitive) gather from 10 to 70 floats.
+
+    Map params are treated as constants (tracking's contract; the reference
+    optimises only the camera in tracking, utils/slam_frontend.py:1468).
+    Requires packed bins."""
+    from ..gaussian.model import SH_C0
+
+    ntx, nty = cfg.grid(intr)
+    T = ntx * nty
+    TG = cfg.tile_group
+    n_groups = -(-T // TG)
+    P = cfg.tile_size * cfg.tile_size
+    C = params["means"].shape[0]
+    params = jax.lax.stop_gradient(params)
+
+    colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0
+    )
+
+    def fields_of(tau_):
+        Rn, Tn = lie.apply_delta(R, t, tau_)
+        proj = project_gaussians(
+            params["means"], params["quats"], params["log_scales"], active,
+            Rn, Tn, intr,
+        )
+        fields = jnp.concatenate(
+            [
+                padf(proj["mean2d"]),
+                padf(proj["conic"]),
+                padf(colors),
+                padf(proj["depth"][:, None]),
+                padf(opac[:, None]),
+            ],
+            axis=1,
+        )  # (C+1, 10)
+        return fields, proj
+
+    zeros6 = jnp.zeros((6,), jnp.float32)
+    fields0, proj0 = fields_of(jax.lax.stop_gradient(tau))
+    # (C+1, 10, 6) Jacobian of the fields w.r.t. tau via 6 forward JVPs
+    J = jax.jacfwd(lambda d: fields_of(jax.lax.stop_gradient(tau) + d)[0])(
+        zeros6
+    )
+    # one widened gather: value + Jacobian rows together
+    FJ = jnp.concatenate(
+        [jax.lax.stop_gradient(fields0)[:, :, None], jax.lax.stop_gradient(J)],
+        axis=2,
+    )  # (C+1, 10, 7)
+    tpj = FJ[bins.gid]  # (NB, KC, TG, 10, 7)
+    dtau = tau - jax.lax.stop_gradient(tau)
+    tp = tpj[..., 0] + jnp.einsum("...fd,d->...f", tpj[..., 1:], dtau)
+
+    interpret = jax.default_backend() == "cpu"
+    from .rasterizer_pallas import pallas_blend_packed
+
+    acc, trans, nt = pallas_blend_packed(
+        tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
+        ntx, nty, cfg.tile_size, TG, n_groups, interpret,
+    )
+    take = bins.inv[:T]
+    acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
+    trans_t = trans[:n_groups].reshape(n_groups * TG, P)[take]
+    bg = (
+        jnp.ones((3,), jnp.float32)
+        if cfg.white_background
+        else jnp.zeros((3,), jnp.float32)
+    )
+    img_t = acc_t[:, :3, :].transpose(0, 2, 1) + trans_t[..., None] * bg[None, None, :]
+    depth_t = acc_t[:, 3, :]
+    alpha_t = 1.0 - trans_t
+
+    def _nt(_):
+        return jnp.zeros((C,), jnp.int32).at[bins.gid.reshape(-1)].add(
+            nt.reshape(-1), mode="drop"
+        )
+
+    if isinstance(need_n_touched, bool):
+        n_touched = _nt(None) if need_n_touched else jnp.zeros((C,), jnp.int32)
+    else:
+        n_touched = jax.lax.cond(
+            need_n_touched, _nt, lambda _: jnp.zeros((C,), jnp.int32), None
+        )
+
+    H, W = intr.height, intr.width
+    ts = cfg.tile_size
+    image = _tiles_to_image(img_t, ntx, nty, ts, H, W).transpose(2, 0, 1)
+    depth = _tiles_to_image(depth_t, ntx, nty, ts, H, W)[None]
+    opacity = _tiles_to_image(alpha_t, ntx, nty, ts, H, W)[None]
+    return RenderOutput(
+        image=image,
+        depth=depth,
+        opacity=opacity,
+        radii=jax.lax.stop_gradient(proj0["radius"]),
+        visibility_filter=jax.lax.stop_gradient(proj0["valid"]),
+        n_touched=n_touched,
+    )
 
 
 def _blend(
@@ -767,14 +983,75 @@ def prepare_bins(
         approx_recall=cfg.approx_recall,
     )
     if cfg.use_pallas and cfg.use_packed:
+        return _pack_for_cfg(bins[0], bins[1], proj, params, active, cfg, ntx, nty)
+    return bins
+
+
+def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty):
+    """Pack dense slot lists per the RenderConfig: plain budgeted pack, or —
+    with saturation_feedback — a FULL-depth gradient-free probe blend that
+    measures each tile's useful depth (true caps, no truncation bias),
+    followed by a depth-sorted capped repack at the configured budget."""
+    C = params["means"].shape[0]
+    if not cfg.saturation_feedback:
         return pack_bins(
-            bins[0],
-            bins[1],
-            params["means"].shape[0],
+            tile_idx,
+            slot_valid,
+            C,
             tile_group=cfg.tile_group,
             slot_budget_per_tile=cfg.slot_budget_per_tile,
         )
-    return bins
+    from ..gaussian.model import SH_C0
+    from .rasterizer_pallas import _packed_fwd_call
+
+    T = ntx * nty
+    n_groups = -(-T // cfg.tile_group)
+    # probe pack at FULL depth so caps are not truncation-biased
+    pb = pack_bins(
+        tile_idx,
+        slot_valid,
+        C,
+        tile_group=cfg.tile_group,
+        slot_budget_per_tile=cfg.max_per_tile,
+    )
+    colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0
+    )
+    fields = jax.lax.stop_gradient(
+        jnp.concatenate(
+            [
+                padf(proj["mean2d"]),
+                padf(proj["conic"]),
+                padf(colors),
+                padf(proj["depth"][:, None]),
+                padf(opac[:, None]),
+            ],
+            axis=1,
+        )
+    )
+    interpret = jax.default_backend() == "cpu"
+    _acc, _trans, wmax = _packed_fwd_call(
+        fields[pb.gid], pb.cg, pb.k0, jnp.zeros((1,), jnp.int32), pb.tids,
+        ntx=ntx, nty=nty, tile_size=cfg.tile_size,
+        tile_group=cfg.tile_group, n_groups=n_groups, interpret=interpret,
+        probe_wmax=True,
+    )
+    caps = saturation_caps(
+        pb, jax.lax.stop_gradient(wmax), T,
+        tile_group=cfg.tile_group, max_per_tile=cfg.max_per_tile,
+        tol=cfg.feedback_tol,
+    )
+    return pack_bins(
+        tile_idx,
+        slot_valid,
+        C,
+        tile_group=cfg.tile_group,
+        slot_budget_per_tile=cfg.slot_budget_per_tile,
+        tile_cap=caps,
+        sort_by_depth=True,
+    )
 
 
 def rasterize(
@@ -830,12 +1107,8 @@ def rasterize(
             approx_recall=cfg.approx_recall,
         )
         if cfg.use_pallas and cfg.use_packed:
-            packed = pack_bins(
-                tile_idx,
-                slot_valid,
-                params["means"].shape[0],
-                tile_group=cfg.tile_group,
-                slot_budget_per_tile=cfg.slot_budget_per_tile,
+            packed = _pack_for_cfg(
+                tile_idx, slot_valid, proj, params, active, cfg, ntx, nty
             )
     elif isinstance(bins, PackedBins):
         packed = bins

@@ -368,12 +368,27 @@ pallas_blend.defvjp(_pb_fwd, _pb_bwd)
 KC = 32  # slots per chunk (static unroll inside the kernel)
 
 
-def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
+def _tid_pixel_coords(tid, ntx, ts):
+    """Pixel coordinates from explicit tile ids. tid: (TG, 1) int32."""
+    ox = ((tid % ntx) * ts).astype(jnp.float32)
+    oy = ((tid // ntx) * ts).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
+    pxo = (lin % ts).astype(jnp.float32)
+    pyo = (lin // ts).astype(jnp.float32)
+    return ox + pxo, oy + pyo  # (TG, P)
+
+
+def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
+                            probe_wmax: bool = False):
+    """With `probe_wmax` the nt output carries each slot's MAX blend weight
+    over the tile's pixels, fixed-point x65536, instead of touched-pixel
+    counts — the saturation-feedback probe suffix-sums these to find where
+    a tile's remaining contribution becomes imperceptible."""
     P = ts * ts
 
-    def kernel(cg_ref, k0_ref, goff_ref, tp_ref, acc_ref, trans_ref, nt_ref):
+    def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,
+               nt_ref):
         b = pl.program_id(0)
-        g = cg_ref[b] + goff_ref[0]  # global group id (tile-sharded render)
         k0 = k0_ref[b]
         nt_ref[:] = jnp.zeros_like(nt_ref)
 
@@ -386,7 +401,10 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
 
         @pl.when(jnp.max(trans0) > T_EPS)
         def _():
-            px, py = _pixel_coords(g, tile_group, ntx, ts)
+            # explicit per-chunk tile ids (depth-sorted grouping); goff
+            # shifts them in tile-sharded multi-chip rendering
+            tid = tid_ref[0, 0][:, None] + goff_ref[0]  # (TG, 1)
+            px, py = _tid_pixel_coords(tid, ntx, ts)
             trans = trans0
             ar = acc_ref[0, 0]
             ag = acc_ref[0, 1]
@@ -408,7 +426,12 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
                 ag += w * cgc
                 ab += w * cbl
                 ad += w * cd
-                nts.append((w > 0.0).sum(axis=1).astype(jnp.int32))
+                if probe_wmax:
+                    nts.append(
+                        jnp.round(w.max(axis=1) * 65536.0).astype(jnp.int32)
+                    )
+                else:
+                    nts.append((w > 0.0).sum(axis=1).astype(jnp.int32))
                 trans = trans * (1.0 - alpha)
             nt_ref[0] = jnp.stack(nts, axis=0)  # one (KC, TG) store
             acc_ref[0, 0] = ar
@@ -423,10 +446,9 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int):
 def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
     P = ts * ts
 
-    def kernel(cg_ref, k0_ref, goff_ref, tp_ref, acc_ref, trans_ref, dacc_ref,
-               dtrans_ref, dtp_ref, trans_s, pre_s):
+    def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,
+               dacc_ref, dtrans_ref, dtp_ref, trans_s, pre_s):
         b = pl.program_id(0)
-        g = cg_ref[b] + goff_ref[0]  # global group id (tile-sharded render)
         k0 = k0_ref[b]
         dtp_ref[:] = jnp.zeros_like(dtp_ref)
 
@@ -439,7 +461,8 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
 
         @pl.when(jnp.max(trans0) > T_EPS)
         def _():
-            px, py = _pixel_coords(g, tile_group, ntx, ts)
+            tid = tid_ref[0, 0][:, None] + goff_ref[0]  # (TG, 1)
+            px, py = _tid_pixel_coords(tid, ntx, ts)
             tot_r = acc_ref[0, 0]
             tot_g = acc_ref[0, 1]
             tot_b = acc_ref[0, 2]
@@ -521,19 +544,22 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
 
 @functools.partial(
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
-                              "interpret")
+                              "interpret", "probe_wmax")
 )
-def _packed_fwd_call(tp, cg, k0, goff, *, ntx, nty, tile_size, tile_group,
-                     n_groups, interpret):
+def _packed_fwd_call(tp, cg, k0, goff, tids, *, ntx, nty, tile_size, tile_group,
+                     n_groups, interpret, probe_wmax=False):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
-    kernel = _make_packed_fwd_kernel(TG, ntx, ts)
+    kernel = _make_packed_fwd_kernel(TG, ntx, ts, probe_wmax)
+    tids = tids.reshape(NB, 1, TG)  # (1, 1, TG) blocks satisfy TPU tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NB,),
         in_specs=[
+            pl.BlockSpec((1, 1, TG), lambda b, cg, k0, goff: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0, goff: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -555,7 +581,7 @@ def _packed_fwd_call(tp, cg, k0, goff, *, ntx, nty, tile_size, tile_group,
             jax.ShapeDtypeStruct((NB, KC, TG), jnp.int32),
         ],
         interpret=interpret,
-    )(cg, k0, goff, tp)
+    )(cg, k0, goff, tids, tp)
     return acc, trans, nt
 
 
@@ -563,17 +589,20 @@ def _packed_fwd_call(tp, cg, k0, goff, *, ntx, nty, tile_size, tile_group,
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
                               "interpret")
 )
-def _packed_bwd_call(tp, cg, k0, goff, acc, trans, dacc, dtrans, *, ntx, nty,
-                     tile_size, tile_group, n_groups, interpret):
+def _packed_bwd_call(tp, cg, k0, goff, tids, acc, trans, dacc, dtrans, *, ntx,
+                     nty, tile_size, tile_group, n_groups, interpret):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
     kernel = _make_packed_bwd_kernel(TG, ntx, ts)
+    tids = tids.reshape(NB, 1, TG)  # (1, 1, TG) blocks satisfy TPU tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NB,),
         in_specs=[
+            pl.BlockSpec((1, 1, TG), lambda b, cg, k0, goff: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KC, TG, NF), lambda b, cg, k0, goff: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, TG, P), lambda b, cg, k0, goff: (cg[b], 0, 0, 0),
@@ -597,51 +626,55 @@ def _packed_bwd_call(tp, cg, k0, goff, acc, trans, dacc, dtrans, *, ntx, nty,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NB, KC, TG, NF), jnp.float32),
         interpret=interpret,
-    )(cg, k0, goff, tp, acc, trans, dacc, dtrans)
+    )(cg, k0, goff, tids, tp, acc, trans, dacc, dtrans)
     return dtp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def pallas_blend_packed(tp, cg, k0, goff, ntx, nty, tile_size, tile_group,
-                        n_groups, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def pallas_blend_packed(tp, cg, k0, goff, tids, ntx, nty, tile_size,
+                        tile_group, n_groups, interpret):
     """Front-to-back blend over packed chunk lists.
 
     tp: (NB, KC, TG, NF) float32 pre-gathered fields, depth-sorted within
     each tile, sentinel rows (opacity 0) for empty slots. cg: (NB,) int32
     tile-group id per chunk (n_groups = garbage row for padding chunks).
     k0: (NB,) int32 slot offset of the chunk within its group (0 = first).
-    Chunks of a group must be grid-consecutive and depth-ascending.
-    `goff` is a (1,) int32 global group offset: in tile-sharded multi-chip
-    rendering each device blends a contiguous row-block of tile groups and
-    goff makes the kernel's pixel coordinates global.
-    Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)).
+    tids: (NB, TG) int32 explicit tile id per (chunk, lane) — groups may
+    hold ARBITRARY tile sets (depth-sorted grouping), not just contiguous
+    runs. Chunks of a group must be grid-consecutive and depth-ascending.
+    `goff` is a (1,) int32 global TILE-ID offset: in tile-sharded
+    multi-chip rendering each device blends a row-block whose local tile
+    ids start at goff, making the kernel's pixel coordinates global.
+    Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)) —
+    acc/trans rows are in GROUP order; map back to tiles via tids.
     Differentiable w.r.t. tp.
     """
     return _packed_fwd_call(
-        tp, cg, k0, goff, ntx=ntx, nty=nty, tile_size=tile_size,
+        tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
     )
 
 
-def _pbp_fwd(tp, cg, k0, goff, ntx, nty, tile_size, tile_group, n_groups,
+def _pbp_fwd(tp, cg, k0, goff, tids, ntx, nty, tile_size, tile_group, n_groups,
              interpret):
     out = _packed_fwd_call(
-        tp, cg, k0, goff, ntx=ntx, nty=nty, tile_size=tile_size,
+        tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
     )
     acc, trans, nt = out
-    return out, (tp, cg, k0, goff, acc, trans)
+    return out, (tp, cg, k0, goff, tids, acc, trans)
 
 
 def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, res, cot):
-    tp, cg, k0, goff, acc, trans = res
+    tp, cg, k0, goff, tids, acc, trans = res
     dacc, dtrans, _dnt = cot
     dtp = _packed_bwd_call(
-        tp, cg, k0, goff, acc, trans, dacc[: acc.shape[0]], dtrans[: trans.shape[0]],
+        tp, cg, k0, goff, tids, acc, trans, dacc[: acc.shape[0]],
+        dtrans[: trans.shape[0]],
         ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
         n_groups=n_groups, interpret=interpret,
     )
-    return dtp, None, None, None
+    return dtp, None, None, None, None
 
 
 pallas_blend_packed.defvjp(_pbp_fwd, _pbp_bwd)

@@ -126,7 +126,23 @@ class DynamicObjectMasker:
         if segmenter is None and use_sam and sam_checkpoint:
             self.segmenter = self._try_load_sam(sam_checkpoint)
         if self.save_images:
-            os.makedirs(self.save_dir, exist_ok=True)
+            # reference dump layout: 11 categories under save_dir
+            # (utils/slam_frontend.py:698-717)
+            for d in self.DUMP_DIRS:
+                os.makedirs(os.path.join(self.save_dir, d), exist_ok=True)
+
+    DUMP_DIRS = (
+        "original",
+        "grounding_dino_detections",
+        "grounding_dino_masks",
+        "sam_masks",
+        "motion_masks",
+        "final_masks",
+        "masked_overlay",
+        "static_only",
+        "keyframes",
+        "detection_analysis",
+    )
 
     # ------------------------------------------------------------ model hooks
 
@@ -164,15 +180,19 @@ class DynamicObjectMasker:
 
         dynamic = np.zeros((H, W), bool)
         detected = False
+        boxes = scores = None
+        gd_mask = sam_mask = motion_mask = None
         if self.detector is not None:
             try:
                 boxes, scores = self.detector(
                     img_u8, self.prompt_manager.get_dynamic_prompt()
                 )
                 keep = scores >= self.box_threshold
-                boxes = boxes[keep]
+                boxes, scores = boxes[keep], scores[keep]
                 if len(boxes):
-                    dynamic = self._boxes_to_mask(img_u8, boxes)
+                    dynamic, gd_mask, sam_mask = self._boxes_to_mask(
+                        img_u8, boxes
+                    )
                 detected = True
             except Exception:
                 detected = False
@@ -181,14 +201,16 @@ class DynamicObjectMasker:
             # fallback ladder: flow-only motion mask, and a conservative
             # color heuristic on the first frame (reference :570-671)
             if self.use_flow:
-                dynamic = dynamic | self._flow_motion_mask(img_u8)
+                motion_mask = self._flow_motion_mask(img_u8)
+                dynamic = dynamic | motion_mask
             if frame_idx == 0 and self.detector is None:
                 dynamic = dynamic | self._first_frame_heuristic(img_u8)
             if not self._warned:
                 self._warned = True
         else:
             if self.use_flow:
-                dynamic = self._refine_with_motion(img_u8, dynamic)
+                motion_mask = self._flow_motion_mask(img_u8)
+                dynamic = self._refine_with_motion(img_u8, dynamic, motion_mask)
 
         dynamic = self._temporal_consistency(dynamic)
         self._update_flow_state(img_u8)
@@ -204,7 +226,11 @@ class DynamicObjectMasker:
 
         static = ~dynamic
         if self.save_images:
-            self._save_dump(img_u8, static, frame_idx)
+            self._save_detection_results(
+                img_u8, static, frame_idx,
+                gd_mask=gd_mask, sam_mask=sam_mask, motion_mask=motion_mask,
+                final_mask=dynamic, boxes=boxes, scores=scores,
+            )
         return static
 
     # alias used by SLAM system
@@ -224,18 +250,21 @@ class DynamicObjectMasker:
             img = np.repeat(img, 3, axis=-1)
         return img
 
-    def _boxes_to_mask(self, img_u8: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    def _boxes_to_mask(self, img_u8: np.ndarray, boxes: np.ndarray):
+        """-> (dynamic, gd_box_mask, sam_mask|None) so the dump harness can
+        record each stage separately (reference save_detection_results)."""
         H, W = img_u8.shape[:2]
+        box_mask = np.zeros((H, W), bool)
+        for x0, y0, x1, y1 in boxes.astype(int):
+            box_mask[max(y0, 0) : min(y1, H), max(x0, 0) : min(x1, W)] = True
         if self.segmenter is not None and self.use_sam:
             try:
                 masks = self.segmenter(img_u8, boxes)  # (N, H, W) bool
-                return np.any(masks, axis=0)
+                sam_mask = np.any(masks, axis=0)
+                return sam_mask, box_mask, sam_mask
             except Exception:
                 pass
-        mask = np.zeros((H, W), bool)
-        for x0, y0, x1, y1 in boxes.astype(int):
-            mask[max(y0, 0) : min(y1, H), max(x0, 0) : min(x1, W)] = True
-        return mask
+        return box_mask, box_mask, None
 
     def _flow_motion_mask(self, img_u8: np.ndarray, thresh: float = 2.0) -> np.ndarray:
         """Farneback flow magnitude thresholding (reference :1116,:651-671)."""
@@ -253,11 +282,13 @@ class DynamicObjectMasker:
         ).astype(bool)
         return moving
 
-    def _refine_with_motion(self, img_u8: np.ndarray, dynamic: np.ndarray) -> np.ndarray:
+    def _refine_with_motion(self, img_u8: np.ndarray, dynamic: np.ndarray,
+                            motion: np.ndarray | None = None) -> np.ndarray:
         """Keep detected regions only when coherent with motion, but stay
         conservative: union with strongly-moving regions (reference
         _refine_with_motion :1106-1149)."""
-        motion = self._flow_motion_mask(img_u8)
+        if motion is None:
+            motion = self._flow_motion_mask(img_u8)
         return dynamic | (motion & ~dynamic)
 
     def _first_frame_heuristic(self, img_u8: np.ndarray) -> np.ndarray:
@@ -297,16 +328,93 @@ class DynamicObjectMasker:
         if cv2 is not None:
             self._prev_gray = cv2.cvtColor(img_u8, cv2.COLOR_RGB2GRAY)
 
-    def _save_dump(self, img_u8: np.ndarray, static: np.ndarray, frame_idx: int) -> None:
+    def _imwrite(self, category: str, frame_idx: int, img_rgb_or_gray) -> None:
+        path = os.path.join(self.save_dir, category, f"frame_{frame_idx:06d}.jpg")
+        arr = np.asarray(img_rgb_or_gray)
+        if arr.dtype == bool:
+            arr = arr.astype(np.uint8) * 255
+        if cv2 is not None:
+            if arr.ndim == 3:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+            cv2.imwrite(path, arr)
+        else:  # pragma: no cover - cv2 is present in the env
+            from PIL import Image
+
+            Image.fromarray(arr).save(path.replace(".jpg", ".png"))
+
+    def _save_detection_results(
+        self, img_u8, static, frame_idx, *, gd_mask=None, sam_mask=None,
+        motion_mask=None, final_mask=None, boxes=None, scores=None,
+    ) -> None:
+        """Per-stage mask dumps + detection-analysis record — the
+        reference's primary visual-QA mechanism
+        (utils/slam_frontend.py:698-717 directory layout, :806-823 analysis
+        text)."""
         try:
-            out = img_u8.copy()
-            out[~static] = (0.5 * out[~static] + np.array([255, 0, 0]) * 0.5).astype(
-                np.uint8
-            )
-            cv2.imwrite(
-                os.path.join(self.save_dir, f"mask_{frame_idx:06d}.jpg"),
-                cv2.cvtColor(out, cv2.COLOR_RGB2BGR),
-            )
+            self._imwrite("original", frame_idx, img_u8)
+            if boxes is not None and len(boxes) and cv2 is not None:
+                det = img_u8.copy()
+                for bi, (x0, y0, x1, y1) in enumerate(boxes.astype(int)):
+                    cv2.rectangle(det, (x0, y0), (x1, y1), (255, 0, 0), 2)
+                    if scores is not None and bi < len(scores):
+                        cv2.putText(
+                            det, f"{scores[bi]:.2f}", (x0, max(y0 - 4, 10)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 0), 1,
+                        )
+                self._imwrite("grounding_dino_detections", frame_idx, det)
+            if gd_mask is not None:
+                self._imwrite("grounding_dino_masks", frame_idx, gd_mask)
+            if sam_mask is not None:
+                self._imwrite("sam_masks", frame_idx, sam_mask)
+            if motion_mask is not None:
+                self._imwrite("motion_masks", frame_idx, motion_mask)
+            if final_mask is not None:
+                self._imwrite("final_masks", frame_idx, final_mask)
+            overlay = img_u8.copy()
+            overlay[~static] = (
+                0.5 * overlay[~static] + np.array([255, 0, 0]) * 0.5
+            ).astype(np.uint8)
+            self._imwrite("masked_overlay", frame_idx, overlay)
+            static_only = img_u8.copy()
+            static_only[~static] = 0
+            self._imwrite("static_only", frame_idx, static_only)
+
+            if boxes is not None:
+                path = os.path.join(
+                    self.save_dir, "detection_analysis",
+                    f"frame_{frame_idx:06d}.txt",
+                )
+                prompt = self.prompt_manager.get_dynamic_prompt()
+                with open(path, "w") as f:
+                    f.write(f"Frame {frame_idx} Detection Analysis\n")
+                    f.write(f"Scene Type: {self.prompt_manager.current_scene}\n")
+                    f.write(f"Prompt Used: {prompt}\n")
+                    f.write(f"Total Detections: {len(boxes)}\n\n")
+                    for i, box in enumerate(boxes):
+                        score = float(scores[i]) if scores is not None and i < len(scores) else 0.0
+                        f.write(f"Detection {i + 1}:\n")
+                        f.write(f"  Confidence: {score:.3f}\n")
+                        f.write(
+                            f"  Box: [{box[0]:.1f}, {box[1]:.1f}, "
+                            f"{box[2]:.1f}, {box[3]:.1f}]\n\n"
+                        )
+        except Exception:
+            pass
+
+    def save_keyframe_overlay(self, image, static, kf_idx: int) -> None:
+        """Keyframe mask overlay dump (reference
+        utils/slam_frontend.py:1538-1577); called by the SLAM system on
+        keyframe creation when save_masked_images is on."""
+        if not self.save_images:
+            return
+        try:
+            img_u8 = self._to_u8_hwc(image)
+            static = np.asarray(static, bool)
+            overlay = img_u8.copy()
+            overlay[~static] = (
+                0.5 * overlay[~static] + np.array([0, 255, 0]) * 0.5
+            ).astype(np.uint8)
+            self._imwrite("keyframes", kf_idx, overlay)
         except Exception:
             pass
 

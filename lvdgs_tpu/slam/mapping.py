@@ -195,10 +195,24 @@ def mapping_run(
                     1 - mcfg.alpha
                 ) * jnp.abs(out.depth * md - cam.mono_depth[None] * md).mean()
 
-            if mcfg.use_masked_loss and is_w:
-                loss = jax.lax.cond(
-                    cam.has_static_mask, masked_branch, plain_branch, None
-                )
+            if mcfg.use_masked_loss:
+                # is_w may be a static bool (single-chip unroll: the
+                # window/replay split is known at trace time) or a traced
+                # flag (camera-DP: the split is data-dependent after the
+                # camera shuffle across devices)
+                if isinstance(is_w, bool):
+                    if is_w:
+                        loss = jax.lax.cond(
+                            cam.has_static_mask, masked_branch, plain_branch,
+                            None,
+                        )
+                    else:
+                        loss = plain_branch(None)
+                else:
+                    loss = jax.lax.cond(
+                        cam.has_static_mask & (is_w > 0.5),
+                        masked_branch, plain_branch, None,
+                    )
             else:
                 loss = plain_branch(None)
 
@@ -275,10 +289,10 @@ def mapping_run(
         replicated (the map pytree is ~7 MB — replication is the right
         trade on ICI), cameras are sharded; each device unrolls its local
         camera slots exactly like the single-chip path and gradients are
-        psum'd. Same return contract as camera_grads. Requires
-        use_masked_loss=False (the per-camera masked-loss branch is a
-        static switch in the unrolled path)."""
-        assert not mcfg.use_masked_loss, "camera-DP mapping requires masker off"
+        psum'd. Same return contract as camera_grads. The masked-loss
+        branch composes: the window/replay split is data-dependent after
+        the camera shuffle, so it rides a per-camera TRACED flag (the
+        single-chip unroll keeps its faster static switch)."""
         ND = mesh.shape["data"]
         per = -(-Ncam // ND)
         Npad = per * ND
@@ -293,11 +307,13 @@ def mapping_run(
             jnp.concatenate([window_valid.astype(jnp.float32), replay_w])[idx],
             0.0,
         )
+        isw_all = (idx < Ws).astype(jnp.float32)  # window vs replay, traced
         bins_all = jax.tree_util.tree_map(lambda b: b[idx], bins)
 
         from jax.sharding import PartitionSpec as P
 
-        def shard_body(p, active, need_nt, slots_l, R_l, T_l, ab_l, w_l, bins_l):
+        def shard_body(p, active, need_nt, slots_l, R_l, T_l, ab_l, w_l,
+                       isw_l, bins_l):
             zero6 = jnp.zeros((6,), jnp.float32)
             g_params = {f: jnp.zeros_like(p[f]) for f in p}
             total = jnp.zeros(())
@@ -309,7 +325,7 @@ def mapping_run(
                     _cam_loss, argnums=(0, 2, 3, 4), has_aux=True
                 )(
                     p, active, zero6, ab_l[i], vs0, slots_l[i], R_l[i], T_l[i],
-                    w_l[i], True, bins_i, need_nt,
+                    w_l[i], isw_l[i], bins_i, need_nt,
                 )
                 total = total + li
                 g_params = {f: g_params[f] + gp[f] for f in g_params}
@@ -335,11 +351,12 @@ def mapping_run(
             shard_body,
             mesh=mesh,
             in_specs=(pspec, P(), P(), P("data"), P("data"), P("data"),
-                      P("data"), P("data"),
+                      P("data"), P("data"), P("data"),
                       jax.tree_util.tree_map(lambda _: P("data"), bins)),
             out_specs=(P(), pspec, P(), P(), P(), P(), P(), P()),
             check_vma=False,
-        )(p, active, need_nt, slots_all, R_all, T_all, ab_all, w_all, bins_all)
+        )(p, active, need_nt, slots_all, R_all, T_all, ab_all, w_all,
+          isw_all, bins_all)
         total, g_params, g_tau, g_ab, gvs, vis, radii, nt = out
 
         iso, g_iso = jax.value_and_grad(

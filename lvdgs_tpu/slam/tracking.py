@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core.camera import Camera, Intrinsics
 from ..core.losses import get_median_depth
-from ..ops.rasterizer import RenderConfig, prepare_bins, rasterize
+from ..ops.rasterizer import (
+    PackedBins, RenderConfig, prepare_bins, rasterize, rasterize_pose_lin,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,10 +103,20 @@ def track_camera(
         # n_touched is consumed only by the keyframe policy AFTER the loop —
         # its per-Gaussian scatter is skipped on every optimisation step and
         # recovered with one final render
-        Rn, Tn = lie.apply_delta(R, T, tau)
-        out = rasterize(
-            params, active, Rn, Tn, intr, rcfg, bins=bins, need_n_touched=False
-        )
+        if isinstance(bins, PackedBins):
+            # pose-linearized packed render: tau gradient contracts against
+            # pre-gathered per-row Jacobians — no per-Gaussian scatter, no
+            # projection transpose (see rasterize_pose_lin)
+            out = rasterize_pose_lin(
+                params, active, R, T, tau, intr, rcfg, bins,
+                need_n_touched=False,
+            )
+        else:
+            Rn, Tn = lie.apply_delta(R, T, tau)
+            out = rasterize(
+                params, active, Rn, Tn, intr, rcfg, bins=bins,
+                need_n_touched=False,
+            )
         image_ab = jnp.exp(ab[0]) * out.image + ab[1]
         l1 = out.opacity * jnp.abs(image_ab * rgb_mask - gt * rgb_mask)
         return l1.mean(), out
@@ -268,7 +280,9 @@ def track_camera_sharded(
         chip = jax.lax.axis_index("data")
         row0 = chip * rows_per
         tile0 = row0 * ntx_p
-        group0 = (tile0 // TG)[None].astype(jnp.int32)
+        # the packed kernel takes a global TILE-id offset (local pack tile
+        # ids start at 0; pixel coordinates must be global)
+        tile_off = tile0[None].astype(jnp.int32)
         gt_l = jax.lax.dynamic_slice_in_dim(gt, row0 * ts, rows_per * ts, 1)
         mask_l = jax.lax.dynamic_slice_in_dim(maskp, row0 * ts, rows_per * ts, 1)
 
@@ -324,8 +338,8 @@ def track_camera_sharded(
             )
             tp = fields[pbins.gid]
             acc, trans, nt = pallas_blend_packed(
-                tp, pbins.cg, pbins.k0, group0, ntx_p, nty_p, ts, TG,
-                groups_per, interpret,
+                tp, pbins.cg, pbins.k0, tile_off, pbins.tids, ntx_p, nty_p,
+                ts, TG, groups_per, interpret,
             )
             acc_t = acc[:groups_per].transpose(0, 2, 1, 3).reshape(T_local, 4, P)
             trans_t = trans[:groups_per].reshape(T_local, P)

@@ -52,12 +52,13 @@ def main():
 
     # MASt3R pointmap priors (pose seed + mono depth) when a checkpoint is
     # configured (reference loads it at utils/slam_frontend.py:1214)
-    pose_prior = depth_prior = None
+    pose_prior = depth_prior = scale_remedy = None
     m_cfg = config.get("mast3r", {}) or {}
     ckpt = m_cfg.get("checkpoint")
     if ckpt and os.path.exists(ckpt):
         from lvdgs_tpu.models.mast3r.inference import (
             MASt3RInference, make_depth_prior, make_pose_prior,
+            make_scale_remedy,
         )
         from lvdgs_tpu.data.datasets import load_dataset
 
@@ -65,10 +66,12 @@ def main():
         ds = load_dataset(None, "", config)
         pose_prior = make_pose_prior(model, ds.intrinsics, ds.dist_coeffs)
         depth_prior = make_depth_prior(model, ds.intrinsics)
+        scale_remedy = make_scale_remedy(model)
         Log(f"MASt3R priors enabled from {ckpt}")
 
     slam = SLAM(config, save_dir=save_dir, masker=masker,
-                pose_prior=pose_prior, depth_prior=depth_prior)
+                pose_prior=pose_prior, depth_prior=depth_prior,
+                scale_remedy=scale_remedy)
     if args.no_color_refinement:
         slam.do_color_refinement = False
     if args.no_eval_rendering:

@@ -180,3 +180,78 @@ def test_tile_sharded_tracking_matches_single():
         np.asarray(out.image), np.asarray(ref.image), atol=1e-3
     )
     assert int((np.asarray(out.n_touched) > 0).sum()) > 0
+
+
+def test_camera_dp_mapping_with_masker_matches_single():
+    """Masked-loss mapping composes with camera-DP (the round-1 exclusivity
+    is lifted): with static masks on every window keyframe, the sharded
+    path's traced window/replay flag must reproduce the single-chip static
+    switch exactly."""
+    from jax.sharding import Mesh
+    from lvdgs_tpu.core.camera import Camera, Intrinsics
+    from lvdgs_tpu.gaussian import model as gm
+    from lvdgs_tpu.ops.rasterizer import RenderConfig
+    from lvdgs_tpu.slam import state as slam_state
+    from lvdgs_tpu.slam.mapping import MappingConfig, mapping_run
+
+    H, W = 32, 32
+    intr = Intrinsics(fx=40.0, fy=40.0, cx=16.0, cy=12.0, width=W, height=H)
+    rcfg = RenderConfig(tile_size=16, max_per_tile=64, gaussian_chunk=8,
+                        tile_chunk=16, use_pallas=False)
+    rng = np.random.default_rng(9)
+    C = 256
+    gmap = gm.create_map(C)
+    n = 128
+    means = np.concatenate(
+        [rng.normal(size=(n, 2)) * 1.0, rng.uniform(2.0, 6.0, size=(n, 1))], 1
+    )
+    gmap = gmap.replace(
+        means=gmap.means.at[:n].set(jnp.asarray(means, jnp.float32)),
+        features_dc=gmap.features_dc.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, 3)) * 0.3, jnp.float32)),
+        log_scales=gmap.log_scales.at[:n].set(
+            jnp.asarray(rng.uniform(-2.5, -1.5, size=(n, 3)), jnp.float32)),
+        quats=gmap.quats.at[:n].set(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)),
+        logit_opacities=gmap.logit_opacities.at[:n].set(
+            jnp.asarray(rng.uniform(0.0, 2.0, size=(n,)), jnp.float32)),
+        active=gmap.active.at[:n].set(True),
+    )
+    opt = gm.MapOptimizer()
+    opt_state = opt.init(gmap)
+
+    kfbuf = slam_state.create_keyframe_buffer(8, H, W)
+    for i in range(3):
+        img = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)), jnp.float32)
+        static = jnp.asarray(rng.random((H, W)) > 0.25)  # per-kf static mask
+        cam = Camera.create(
+            i, img, intr,
+            mono_depth=jnp.asarray(rng.uniform(2, 6, size=(H, W)), jnp.float32),
+        ).replace(
+            static_mask=static, has_static_mask=jnp.asarray(True),
+        ).update_RT(jnp.eye(3), jnp.asarray([0.02 * i, 0.0, 0.0], jnp.float32))
+        kfbuf, _ = slam_state.add_keyframe(kfbuf, cam)
+
+    window = jnp.asarray([0, 1, 2, -1], jnp.int32)
+    mcfg = MappingConfig(window_size=4, n_random=1, up_pose=True,
+                         use_masked_loss=True,
+                         gaussian_update_every=10**6, gaussian_reset=10**6,
+                         rebin_every=2)
+    key = jax.random.PRNGKey(0)
+
+    def run(mesh):
+        g = jax.tree.map(lambda a: a.copy(), gmap)
+        s = jax.tree.map(lambda a: a.copy(), opt_state)
+        return mapping_run(
+            g, s, kfbuf, window, key, jnp.zeros((), jnp.int32),
+            jnp.asarray(4, jnp.int32), 0,
+            intr=intr, rcfg=rcfg, opt=opt, mcfg=mcfg, mesh=mesh,
+        )
+
+    ref = run(None)
+    out = run(Mesh(np.array(jax.devices()[:5]), ("data",)))
+    np.testing.assert_allclose(float(out.last_loss), float(ref.last_loss), rtol=1e-5)
+    for f in gm.PARAM_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out.gmap, f)), np.asarray(getattr(ref.gmap, f)),
+            atol=5e-3, err_msg=f,
+        )

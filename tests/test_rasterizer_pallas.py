@@ -123,3 +123,127 @@ def test_packed_bins_precomputed_reuse():
     b = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_PACKED,
                   bins=bins)
     np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=3e-4)
+
+
+CFG_FEEDBACK = dataclasses.replace(CFG_PACKED, saturation_feedback=True)
+
+
+def _two_cluster_scene():
+    """One tile ROW (= one tile group at TG=4, ntx=4) holds an opaque cluster
+    that saturates early; another row holds a translucent cluster needing its
+    full depth. A uniform binding budget waterfill-truncates both; feedback
+    caps the saturated group and the waterfill hands its chunks to the
+    translucent one."""
+    rng = np.random.default_rng(11)
+
+    def cluster(n, px0, px1, py0, py1, z, op, scale):
+        # positions spread uniformly over a pixel box (a splat "wall", the
+        # realistic saturating case — stacked same-position Gaussians never
+        # saturate their rims)
+        px = rng.uniform(px0, px1, size=n)
+        py = rng.uniform(py0, py1, size=n)
+        zz = z + rng.uniform(0, 1.0, size=n)
+        means = np.stack(
+            [
+                (px - INTR.cx) / INTR.fx * zz,
+                (py - INTR.cy) / INTR.fy * zz,
+                zz,
+            ],
+            axis=1,
+        )
+        return {
+            "means": means,
+            "features_dc": rng.normal(size=(n, 3)) * 0.5,
+            "log_scales": np.full((n, 3), scale),
+            "quats": rng.normal(size=(n, 4)),
+            "logit_opacities": np.full((n,), op),
+        }
+    # walls blanket a full 16x16 tile plus the splat radius so every pixel
+    # of the target tile is covered (tile 1 in row 0 / tile 9 in row 2).
+    # The opaque row = a dense front wall + 136 fully-occluded fillers
+    # behind it (the dead depth saturation feedback should reclaim).
+    a_front = cluster(128, 10.0, 38.0, -8.0, 24.0, 4.0, 6.0, -1.9)
+    a_back = cluster(136, 10.0, 38.0, -8.0, 24.0, 6.0, 3.5, -1.9)
+    b = cluster(100, 10.0, 38.0, 26.0, 54.0, 4.0, -2.6, -2.3)  # translucent
+    a = {k: np.concatenate([a_front[k], a_back[k]], 0) for k in a_front}
+    params = {
+        k: jnp.asarray(np.concatenate([a[k], b[k]], 0), jnp.float32) for k in a
+    }
+    n_total = params["means"].shape[0]
+    return params, jnp.ones((n_total,), bool)
+
+
+def test_saturation_feedback_identity_when_unsaturated():
+    """With nothing saturated the probe must not change the packing: output
+    bitwise-equal to the plain packed path."""
+    params, active = make_scene(60, seed=6)
+    a = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_PACKED)
+    b = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_FEEDBACK)
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+
+def test_saturation_feedback_reclaims_dead_depth():
+    """The probe must cap the opaque-wall tiles well below their binned
+    depth (the 136 fillers behind the wall are dead), leave the translucent
+    tiles' allocation intact, and keep the render essentially exact."""
+    from lvdgs_tpu.ops.rasterizer import prepare_bins
+
+    params, active = _two_cluster_scene()
+    cfg_exact = dataclasses.replace(CFG_XLA, max_per_tile=224, gaussian_chunk=32)
+    full = dataclasses.replace(
+        CFG_PACKED, max_per_tile=224, slot_budget_per_tile=224
+    )
+    full_fb = dataclasses.replace(full, saturation_feedback=True)
+    bu = prepare_bins(params, active, jnp.eye(3), jnp.zeros(3), INTR, full)
+    bf = prepare_bins(params, active, jnp.eye(3), jnp.zeros(3), INTR, full_fb)
+    ka_u = np.asarray(bu.kalloc)
+    ka_f = np.asarray(bf.kalloc)
+    # tile 1 (row 0) holds the wall + dead filler: allocation must shrink
+    assert ka_u[1] >= 180, ka_u
+    assert ka_f[1] <= ka_u[1] - 64, (ka_u[1], ka_f[1])
+    # translucent tile 9 keeps (almost) everything
+    assert ka_f[9] >= ka_u[9] - 32, (ka_u[9], ka_f[9])
+
+    exact = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, cfg_exact)
+    fb = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, full_fb,
+                   bins=bf)
+    ie = np.asarray(exact.image)
+    err_fb = np.abs(np.asarray(fb.image) - ie).mean()
+    assert np.all(np.isfinite(np.asarray(fb.image)))
+    assert err_fb < 2e-3, err_fb
+
+
+def test_pose_lin_matches_autodiff():
+    """rasterize_pose_lin must equal the plain packed render in value and in
+    tau-gradient (it only restructures the backward contraction)."""
+    from lvdgs_tpu.ops.rasterizer import prepare_bins, rasterize_pose_lin
+
+    params, active = make_scene(120, seed=9)
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
+    bins = prepare_bins(params, active, R0, t0, INTR, CFG_PACKED, margin=4.0)
+    gt = rasterize(params, active, R0, t0, INTR, CFG_PACKED).image * 0.8
+
+    def loss_ad(tau):
+        R, t = lie.apply_delta(R0, t0, tau)
+        out = rasterize(params, active, R, t, INTR, CFG_PACKED, bins=bins,
+                        need_n_touched=False)
+        return (out.opacity * jnp.abs(out.image - gt)).mean()
+
+    def loss_lin(tau):
+        out = rasterize_pose_lin(params, active, R0, t0, tau, INTR,
+                                 CFG_PACKED, bins)
+        return (out.opacity * jnp.abs(out.image - gt)).mean()
+
+    v_ad, g_ad = jax.value_and_grad(loss_ad)(jnp.zeros(6))
+    v_lin, g_lin = jax.value_and_grad(loss_lin)(jnp.zeros(6))
+    np.testing.assert_allclose(float(v_lin), float(v_ad), rtol=1e-6)
+    ga, gl = np.asarray(g_ad), np.asarray(g_lin)
+    denom = np.abs(ga).max() + 1e-12
+    np.testing.assert_allclose(gl / denom, ga / denom, atol=5e-4)
+
+    # value parity away from tau=0 too (fields are evaluated at tau exactly)
+    tau1 = jnp.array([0.003, -0.002, 0.004, 0.001, -0.001, 0.002])
+    v_ad1 = loss_ad(tau1)
+    v_lin1 = loss_lin(tau1)
+    np.testing.assert_allclose(float(v_lin1), float(v_ad1), rtol=1e-5)

@@ -85,23 +85,24 @@ def main():
     tp = gather_fn(p, active, pbins.gid)
 
     @jax.jit
-    def kfwd(tp, cg, k0):
-        return pallas_blend_packed(tp, cg, k0, jnp.zeros((1,), jnp.int32), ntx,
-                                   nty, cfg.tile_size, TG, n_groups, False)
+    def kfwd(tp, cg, k0, tids):
+        return pallas_blend_packed(tp, cg, k0, jnp.zeros((1,), jnp.int32),
+                                   tids, ntx, nty, cfg.tile_size, TG,
+                                   n_groups, False)
 
-    ms = bench(kfwd, tp, pbins.cg, pbins.k0)
+    ms = bench(kfwd, tp, pbins.cg, pbins.k0, pbins.tids)
     print(f"packed kernel fwd:  {ms:7.2f} ms")
 
     @jax.jit
-    def kfb(tp, cg, k0):
+    def kfb(tp, cg, k0, tids):
         def f(tp):
             acc, trans, nt = pallas_blend_packed(
-                tp, cg, k0, jnp.zeros((1,), jnp.int32), ntx, nty,
+                tp, cg, k0, jnp.zeros((1,), jnp.int32), tids, ntx, nty,
                 cfg.tile_size, TG, n_groups, False)
             return acc.sum() + trans.sum()
         return jax.grad(f)(tp)
 
-    ms = bench(kfb, tp, pbins.cg, pbins.k0)
+    ms = bench(kfb, tp, pbins.cg, pbins.k0, pbins.tids)
     print(f"packed kernel f+b:  {ms:7.2f} ms")
 
     @jax.jit

@@ -43,6 +43,9 @@ def main():
                                           slot_budget_per_tile=128)),
         ("packed192", dataclasses.replace(slam.rcfg, use_packed=True,
                                           slot_budget_per_tile=192)),
+        ("fb128", dataclasses.replace(slam.rcfg, use_packed=True,
+                                      slot_budget_per_tile=128,
+                                      saturation_feedback=True)),
     ):
         errs_r, errs_t, iters = [], [], []
         for trial, kf in enumerate(slam.current_window[:3]):
