@@ -38,8 +38,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 # bump when SLAM state semantics change enough to invalidate cached states
 # (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1;
-#  v4: saturation-feedback packing at budget 128 + pose-linearized tracking)
-BENCH_STATE_VERSION = 4
+#  v4: saturation-feedback packing at budget 128 + pose-linearized tracking;
+#  v5: feedback restricted to tracking — capped mapping visibility made
+#  covisibility pruning ~2x more aggressive and stormed the keyframe policy)
+BENCH_STATE_VERSION = 5
 WARM_FRAMES = 44  # frames 0..43 build the initialized steady state
 TIMED_FRAMES = 12  # frames timed after one untimed resume frame
 TOTAL_FRAMES = WARM_FRAMES + 1 + TIMED_FRAMES
@@ -101,6 +103,14 @@ def build_config():
         "tile_chunk": 128,
         "map_capacity": 2**17,
         "kf_capacity": 128,
+        # pin every numerics-affecting renderer knob EXPLICITLY: state_key
+        # hashes these config values, so relying on SLAM defaults lets a
+        # default change silently reuse a stale warm state (and pay every
+        # capacity-variant compile inside the timed region)
+        "packed_tracking_budget": 96,
+        "packed_mapping_budget": 192,
+        "saturation_feedback": True,
+        "saturation_feedback_mapping": False,
     }
     config["Results"].update(
         {"save_results": False, "eval_rendering": False, "color_refinement": False}
@@ -131,6 +141,10 @@ def state_key(config) -> str:
             "numerics": {
                 "packed_tracking_budget": perf.get("packed_tracking_budget"),
                 "packed_mapping_budget": perf.get("packed_mapping_budget"),
+                "saturation_feedback": perf.get("saturation_feedback"),
+                "saturation_feedback_mapping": perf.get(
+                    "saturation_feedback_mapping"
+                ),
                 "max_per_tile": perf.get("max_per_tile"),
                 "rebin_every": perf.get("rebin_every"),
                 "bin_margin": perf.get("bin_margin"),

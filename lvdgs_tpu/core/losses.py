@@ -78,6 +78,7 @@ def image_gradient_mask(image: jax.Array, eps: float = 0.01):
     return mv == 9.0, mh == 9.0
 
 
+@functools.partial(jax.jit, static_argnames=("edge_threshold", "dataset_type"))
 def compute_grad_mask(
     image: jax.Array, edge_threshold: float, dataset_type: str = "KITTI"
 ) -> jax.Array:

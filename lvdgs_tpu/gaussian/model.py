@@ -21,6 +21,7 @@ surgery on densification — and so the position learning rate can follow the
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -560,12 +561,14 @@ class MapOptimizer:
         return gmap.with_params(new_params), AdamState(m=new_m, v=new_v, count=count)
 
 
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
 def grow_capacity(
     gmap: GaussianMap,
     new_capacity: int,
     opt_state: "AdamState | None" = None,
 ):
-    """Grow the map's slot capacity (host-level, outside jit).
+    """Grow the map's slot capacity (one jitted dispatch — the ~40 eager
+    concats cost >1 s of relay round trips per event).
 
     TPU-native counterpart of the reference's dynamic torch.cat growth
     (reconstructed GaussianModel API, SURVEY.md §2.9): shapes are static per
@@ -606,13 +609,14 @@ def grow_capacity(
     return gmap, opt_state
 
 
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
 def compact_and_resize(
     gmap: GaussianMap,
     new_capacity: int,
     opt_state: "AdamState | None" = None,
 ):
     """Compact active Gaussians to the slot prefix and resize capacity
-    (host-level, outside jit; the shrink counterpart of grow_capacity).
+    (one jitted dispatch; the shrink counterpart of grow_capacity).
 
     Returns (gmap, opt_state, take) where `take[j]` is the OLD slot that
     new slot j came from — callers must re-index any slot-aligned arrays

@@ -987,26 +987,16 @@ def prepare_bins(
     return bins
 
 
-def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty):
-    """Pack dense slot lists per the RenderConfig: plain budgeted pack, or —
-    with saturation_feedback — a FULL-depth gradient-free probe blend that
-    measures each tile's useful depth (true caps, no truncation bias),
-    followed by a depth-sorted capped repack at the configured budget."""
-    C = params["means"].shape[0]
-    if not cfg.saturation_feedback:
-        return pack_bins(
-            tile_idx,
-            slot_valid,
-            C,
-            tile_group=cfg.tile_group,
-            slot_budget_per_tile=cfg.slot_budget_per_tile,
-        )
+def probe_saturation_caps(tile_idx, slot_valid, proj, params, active, cfg,
+                          ntx, nty):
+    """FULL-depth gradient-free probe blend -> per-tile useful-depth caps
+    (true caps, no truncation bias). See saturation_caps."""
     from ..gaussian.model import SH_C0
     from .rasterizer_pallas import _packed_fwd_call
 
+    C = params["means"].shape[0]
     T = ntx * nty
     n_groups = -(-T // cfg.tile_group)
-    # probe pack at FULL depth so caps are not truncation-biased
     pb = pack_bins(
         tile_idx,
         slot_valid,
@@ -1038,20 +1028,100 @@ def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty):
         tile_group=cfg.tile_group, n_groups=n_groups, interpret=interpret,
         probe_wmax=True,
     )
-    caps = saturation_caps(
+    return saturation_caps(
         pb, jax.lax.stop_gradient(wmax), T,
         tile_group=cfg.tile_group, max_per_tile=cfg.max_per_tile,
         tol=cfg.feedback_tol,
     )
+
+
+def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty,
+                  tile_cap=None):
+    """Pack dense slot lists per the RenderConfig: plain budgeted pack, or —
+    with saturation_feedback — a probe-capped depth-sorted repack at the
+    configured budget. `tile_cap` supplies precomputed caps (e.g. the
+    tracking loop probes once and reuses them across rebins — the map is
+    frozen there, so caps stay valid while only the pose drifts)."""
+    C = params["means"].shape[0]
+    if not cfg.saturation_feedback:
+        return pack_bins(
+            tile_idx,
+            slot_valid,
+            C,
+            tile_group=cfg.tile_group,
+            slot_budget_per_tile=cfg.slot_budget_per_tile,
+        )
+    if tile_cap is None:
+        tile_cap = probe_saturation_caps(
+            tile_idx, slot_valid, proj, params, active, cfg, ntx, nty
+        )
     return pack_bins(
         tile_idx,
         slot_valid,
         C,
         tile_group=cfg.tile_group,
         slot_budget_per_tile=cfg.slot_budget_per_tile,
-        tile_cap=caps,
+        tile_cap=tile_cap,
         sort_by_depth=True,
     )
+
+
+def prepare_bins_with_caps(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    margin: float,
+    caps: jax.Array,  # (T,) int32; caps[0] < 0 -> run the probe
+):
+    """prepare_bins variant with carried saturation caps (tracking loop).
+
+    The probe is expensive (full-depth gather + blend); during tracking the
+    map is frozen and the pose drifts sub-pixel per step, so caps measured
+    at the first rebin remain valid for the whole run. Returns
+    (bins, caps') where caps' is the (possibly freshly probed) cap vector
+    to carry forward. Must be called inside a jit (traced)."""
+    ntx, nty = cfg.grid(intr)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t, intr
+    )
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(proj["mean2d"]),
+        jax.lax.stop_gradient(proj["radius"]),
+        jax.lax.stop_gradient(proj["depth"]),
+        proj["valid"],
+        margin,
+        ntx=ntx,
+        nty=nty,
+        tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile,
+        tile_chunk=cfg.tile_chunk,
+        coarse_factor=cfg.coarse_factor,
+        max_per_coarse=cfg.max_per_coarse,
+        use_approx_topk=cfg.use_approx_topk,
+        approx_recall=cfg.approx_recall,
+    )
+    if not (cfg.use_pallas and cfg.use_packed):
+        return bins, caps
+    if not cfg.saturation_feedback:
+        return (
+            _pack_for_cfg(bins[0], bins[1], proj, params, active, cfg, ntx, nty),
+            caps,
+        )
+    caps = jax.lax.cond(
+        caps[0] < 0,
+        lambda _: probe_saturation_caps(
+            bins[0], bins[1], proj, params, active, cfg, ntx, nty
+        ),
+        lambda _: caps,
+        None,
+    )
+    pb = _pack_for_cfg(
+        bins[0], bins[1], proj, params, active, cfg, ntx, nty, tile_cap=caps
+    )
+    return pb, caps
 
 
 def rasterize(

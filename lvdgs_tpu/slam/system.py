@@ -99,17 +99,28 @@ class SLAM:
         # than the XLA scan, so the packed default is TPU-only; configs can
         # still force budgets on any backend.
         on_cpu = jax.default_backend() == "cpu"
-        tb = perf.get("packed_tracking_budget", 0 if on_cpu else 128)
-        mb = perf.get("packed_mapping_budget", 0 if on_cpu else 128)
-        sat = perf.get("saturation_feedback", True)
+        # tracking fb96: pose-recovery within noise of dense (7.9 vs 8.2 cm,
+        # rotation exact) at 1066 ms/100 iters vs dense 2745 — the feedback
+        # caps make the small budget quality-safe (saturated tiles release
+        # allocation instead of truncating needy ones)
+        tb = perf.get("packed_tracking_budget", 0 if on_cpu else 96)
+        mb = perf.get("packed_mapping_budget", 0 if on_cpu else 192)
+        # feedback default: tracking ONLY. The map is frozen there so caps
+        # are provably valid, and policy visibility is dense-exact anyway.
+        # In mapping, capped final-iteration n_touched feeds covisibility
+        # PRUNING: sub-LSB contributors get n_obs=0 and are culled, which
+        # measured ~2x more aggressive pruning -> smaller map -> keyframe
+        # storms on the bench. Opt in per path after validating quality.
+        sat_t = perf.get("saturation_feedback", True)
+        sat_m = perf.get("saturation_feedback_mapping", False)
         self.rcfg_track = (
             _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=tb,
-                        saturation_feedback=sat)
+                        saturation_feedback=sat_t)
             if tb else self.rcfg
         )
         self.rcfg_map = (
             _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=mb,
-                        saturation_feedback=sat)
+                        saturation_feedback=sat_m)
             if mb else self.rcfg
         )
         # the map starts small and grows by powers of two toward
@@ -143,6 +154,10 @@ class SLAM:
             lr_rot=tr["lr"]["cam_rot_delta"],
             lr_trans=tr["lr"]["cam_trans_delta"],
             rgb_boundary_threshold=tr.get("rgb_boundary_threshold", 0.01),
+            # ||tau|| < eps early exit (reference utils/pose_utils.py:82).
+            # 1e-4 is reference parity; measured accuracy/time ladder on the
+            # synthetic scene: 3e-4 halves iterations at ~3x the residual
+            convergence_eps=tr.get("convergence_eps", 1e-4),
         )
 
         common = dict(
@@ -458,7 +473,7 @@ class SLAM:
 
     def _grow_to(self, target: int) -> None:
         cap = self.gmap.capacity
-        self._last_grow_kf = len(self.kf_indices)
+        self._last_resize_kf = len(self.kf_indices)
         Log(f"Growing map capacity {cap} -> {target}")
         self.gmap, self.opt_state = gm.grow_capacity(
             self.gmap, target, self.opt_state
@@ -475,22 +490,24 @@ class SLAM:
 
     def _maybe_shrink(self) -> None:
         """Shrink capacity after big prunes (hysteresis: grow at 0.7
-        occupancy, shrink only when actives fit in 0.25 of half, and never
-        within 3 keyframes of a grow — the round-2 bench showed aggressive
-        covisibility pruning swinging actives 22k<->39k every few keyframes,
-        thrashing 65k<->131k capacities) so capacity-proportional costs
-        track the live map, not its high-water mark. Re-indexes stored
-        visibility masks with the compaction order."""
-        if len(self.kf_indices) - getattr(self, "_last_grow_kf", -10) < 3:
+        occupancy, shrink only when actives fit in 0.2 of half, and never
+        within 5 keyframes of any resize — the round-2 bench showed
+        aggressive covisibility pruning swinging actives 14k<->40k within
+        a few keyframes, thrashing 65k<->131k capacities and their
+        compiled-program swaps) so capacity-proportional costs track the
+        live map, not its high-water mark. Re-indexes stored visibility
+        masks with the compaction order."""
+        if len(self.kf_indices) - getattr(self, "_last_resize_kf", -10) < 5:
             return
         cap = self.gmap.capacity
         n = int(self.gmap.num_active)
         min_cap = min(2**14, self.max_capacity)
         target = cap
-        while target > min_cap and n <= 0.25 * (target // 2):
+        while target > min_cap and n <= 0.2 * (target // 2):
             target //= 2
         if target >= cap:
             return
+        self._last_resize_kf = len(self.kf_indices)
         Log(f"Shrinking map capacity {cap} -> {target} ({n} active)")
         self.gmap, self.opt_state, take = gm.compact_and_resize(
             self.gmap, target, self.opt_state

@@ -24,7 +24,8 @@ from ..core import lie
 from ..core.camera import Camera, Intrinsics
 from ..core.losses import get_median_depth
 from ..ops.rasterizer import (
-    PackedBins, RenderConfig, prepare_bins, rasterize, rasterize_pose_lin,
+    PackedBins, RenderConfig, prepare_bins, prepare_bins_with_caps, rasterize,
+    rasterize_pose_lin,
 )
 
 
@@ -46,6 +47,10 @@ class TrackingConfig:
     # quality-neutral and ~8% faster than 10/8 (tools: /tmp rebin probe)
     rebin_every: int = 20
     bin_margin: float = 16.0
+    # pose-linearized backward (rasterize_pose_lin): kills the per-Gaussian
+    # scatter + projection transpose but pays a 6-tangent projection
+    # Jacobian per iteration — whether it wins depends on map size vs rows
+    pose_lin: bool = False
 
 
 class TrackState(NamedTuple):
@@ -63,6 +68,7 @@ class TrackState(NamedTuple):
     opacity: jax.Array  # (1, H, W)
     n_touched: jax.Array  # (C,)
     loss: jax.Array
+    caps: jax.Array  # (T,) saturation caps, probed once (-1 = not yet)
 
 
 class TrackResult(NamedTuple):
@@ -103,7 +109,7 @@ def track_camera(
         # n_touched is consumed only by the keyframe policy AFTER the loop —
         # its per-Gaussian scatter is skipped on every optimisation step and
         # recovered with one final render
-        if isinstance(bins, PackedBins):
+        if tcfg.pose_lin and isinstance(bins, PackedBins):
             # pose-linearized packed render: tau gradient contracts against
             # pre-gathered per-row Jacobians — no per-Gaussian scatter, no
             # projection transpose (see rasterize_pose_lin)
@@ -160,14 +166,19 @@ def track_camera(
             opacity=out.opacity,
             n_touched=out.n_touched,
             loss=loss,
+            caps=s.caps,
         )
 
     def outer_cond(s: TrackState):
         return (~s.done) & (s.it < tcfg.max_iters)
 
     def outer_body(s: TrackState) -> TrackState:
-        # rebin at the current pose with a pixel-radius margin
-        bins = prepare_bins(params, active, s.R, s.T, intr, rcfg, margin=tcfg.bin_margin)
+        # rebin at the current pose with a pixel-radius margin; saturation
+        # caps are probed on the FIRST rebin only and carried (map frozen)
+        bins, caps = prepare_bins_with_caps(
+            params, active, s.R, s.T, intr, rcfg, tcfg.bin_margin, s.caps
+        )
+        s = s._replace(caps=caps)
 
         def inner_cond(st: TrackState):
             return (~st.done) & (st.it < tcfg.max_iters) & (
@@ -180,6 +191,7 @@ def track_camera(
 
     H, W = intr.height, intr.width
     C = params["means"].shape[0]
+    ntx, nty = rcfg.grid(intr)
     init = TrackState(
         R=cam.R,
         T=cam.T,
@@ -195,6 +207,7 @@ def track_camera(
         opacity=jnp.zeros((1, H, W), jnp.float32),
         n_touched=jnp.zeros((C,), jnp.int32),
         loss=jnp.zeros(()),
+        caps=jnp.full((ntx * nty,), -1, jnp.int32),
     )
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)

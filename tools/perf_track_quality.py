@@ -46,6 +46,9 @@ def main():
         ("fb128", dataclasses.replace(slam.rcfg, use_packed=True,
                                       slot_budget_per_tile=128,
                                       saturation_feedback=True)),
+        ("fb96", dataclasses.replace(slam.rcfg, use_packed=True,
+                                     slot_budget_per_tile=96,
+                                     saturation_feedback=True)),
     ):
         errs_r, errs_t, iters = [], [], []
         for trial, kf in enumerate(slam.current_window[:3]):
