@@ -239,3 +239,34 @@ def test_mapping_partial_window_padded():
     assert np.isfinite(float(res.last_loss))
     # padded slots report no visibility
     assert int(res.occ_visibility[1:].sum()) == 0
+
+
+def test_tracking_with_saturation_feedback_recovers_pose():
+    """track_camera with the packed+feedback config (probe-once caps carried
+    across rebins, prepare_bins_with_caps) must still recover a perturbed
+    pose — exercises the lax.cond probe path end-to-end on CPU."""
+    import dataclasses
+
+    params, active = gt_scene()
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
+    gt_out = render_gt(params, active, R0, t0)
+
+    cam = Camera.create(5, gt_out.image, INTR)
+    tau_pert = jnp.array([0.02, -0.015, 0.03, 0.008, -0.006, 0.01])
+    Rp, tp = lie.apply_delta(R0, t0, tau_pert)
+    cam = cam.update_RT(Rp, tp)
+
+    cfg_fb = dataclasses.replace(
+        CFG, use_packed=True, slot_budget_per_tile=96, tile_group=4,
+        saturation_feedback=True,
+    )
+    tcfg = TrackingConfig(max_iters=60, rebin_every=10)
+    res = track_camera(params, active, cam, INTR, cfg_fb, tcfg)
+
+    err0 = float(jnp.linalg.norm(tp - t0)) + float(
+        jnp.linalg.norm(lie.so3_log(Rp @ R0.T))
+    )
+    err1 = float(jnp.linalg.norm(res.T - t0)) + float(
+        jnp.linalg.norm(lie.so3_log(res.R @ R0.T))
+    )
+    assert err1 < 0.5 * err0, f"pose error {err0} -> {err1}"
