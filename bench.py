@@ -94,6 +94,10 @@ def build_config():
             # the reference's default mode (KITTI base_config.yaml:48):
             # backend maps concurrently, 10 iters per keyframe + idle mapping
             "single_thread": False,
+            # loss-plateau tracking exit (numerics-affecting -> pinned here
+            # so a default change forces a warm-state rebuild)
+            "plateau_tol": 0.005,
+            "plateau_min_iters": 40,
         }
     )
     config["Performance"] = {
@@ -108,9 +112,11 @@ def build_config():
         # default change silently reuse a stale warm state (and pay every
         # capacity-variant compile inside the timed region)
         "packed_tracking_budget": 96,
-        "packed_mapping_budget": 192,
+        "packed_mapping_budget": 128,
         "saturation_feedback": True,
-        "saturation_feedback_mapping": False,
+        # mapping feedback is safe now that mapping_run sources visibility
+        # from the probe's full-depth blend (prepare_bins_with_touched)
+        "saturation_feedback_mapping": True,
     }
     config["Results"].update(
         {"save_results": False, "eval_rendering": False, "color_refinement": False}

@@ -27,6 +27,30 @@ import numpy as np
 from flax import struct
 
 
+_CONSTS_CACHE: dict = {}
+
+
+def _create_consts(H: int, W: int):
+    """Device constants shared by every Camera.create call at (H, W).
+
+    JAX arrays are immutable, so sharing is safe; caching avoids paying a
+    ~30 ms eager-dispatch round trip per constant per frame on remote
+    (tunnel-attached) devices."""
+    key = (H, W, jax.default_backend())
+    hit = _CONSTS_CACHE.get(key)
+    if hit is None:
+        hit = (
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros((3,), dtype=jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+            jnp.ones((H, W), bool),
+            jnp.asarray(False),
+        )
+        _CONSTS_CACHE[key] = hit
+    return hit
+
+
 def focal2fov(focal: float, pixels: float) -> float:
     """Field of view from focal length (gaussian_splatting graphics_utils parity)."""
     return 2.0 * math.atan(pixels / (2.0 * focal))
@@ -141,8 +165,11 @@ class Camera(struct.PyTreeNode):
         mono_depth: Optional[jax.Array] = None,
     ) -> "Camera":
         H, W = intr.height, intr.width
-        eye = jnp.eye(3, dtype=jnp.float32)
-        zeros3 = jnp.zeros((3,), dtype=jnp.float32)
+        # per-frame constants come from a (H, W)-keyed cache: each eager op
+        # is a ~30 ms dispatch through the remote-device tunnel, and the
+        # 7 constants here made camera construction the 4th-largest phase
+        # of the frame loop (PERFORMANCE.md)
+        eye, zeros3, zero_s, zeros_hw, ones_hw, false_s = _create_consts(H, W)
         return cls(
             uid=jnp.asarray(uid, jnp.int32),
             image=jnp.asarray(image, jnp.float32),
@@ -152,17 +179,15 @@ class Camera(struct.PyTreeNode):
             T_gt=zeros3 if gt_T is None else jnp.asarray(gt_T, jnp.float32),
             cam_rot_delta=zeros3,
             cam_trans_delta=zeros3,
-            exposure_a=jnp.zeros((), jnp.float32),
-            exposure_b=jnp.zeros((), jnp.float32),
-            depth=jnp.zeros((H, W), jnp.float32)
-            if depth is None
-            else jnp.asarray(depth, jnp.float32),
-            mono_depth=jnp.zeros((H, W), jnp.float32)
+            exposure_a=zero_s,
+            exposure_b=zero_s,
+            depth=zeros_hw if depth is None else jnp.asarray(depth, jnp.float32),
+            mono_depth=zeros_hw
             if mono_depth is None
             else jnp.asarray(mono_depth, jnp.float32),
-            grad_mask=jnp.ones((H, W), bool),
-            static_mask=jnp.ones((H, W), bool),
-            has_static_mask=jnp.asarray(False),
+            grad_mask=ones_hw,
+            static_mask=ones_hw,
+            has_static_mask=false_s,
         )
 
     def update_RT(self, R: jax.Array, T: jax.Array) -> "Camera":

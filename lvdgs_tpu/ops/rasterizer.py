@@ -657,6 +657,115 @@ def _blend_pallas_packed(
     return img, depth_t, alpha_t, n_touched
 
 
+def pose_lin_gather(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    bins: PackedBins,
+):
+    """Gather per-row (field value, d field/d tau) at the linearization pose.
+
+    Returns (tpj (NB, KC, TG, 10, 7), proj) where tpj[..., 0] is the field
+    value at (R, t) and tpj[..., 1:] the se(3) Jacobian columns. One widened
+    gather (the row-serialized gather is width-insensitive, PERFORMANCE.md);
+    the Jacobian costs 6 fused projection JVPs — per CALL, so hoisting this
+    to the rebin boundary amortises it over the whole period
+    (period-linearized tracking, slam/tracking.py)."""
+    from ..gaussian.model import SH_C0
+
+    params = jax.lax.stop_gradient(params)
+    colors = jnp.clip(0.5 + SH_C0 * params["features_dc"], 0.0, 1.0)
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0
+    )
+
+    def fields_of(tau_):
+        Rn, Tn = lie.apply_delta(R, t, tau_)
+        proj = project_gaussians(
+            params["means"], params["quats"], params["log_scales"], active,
+            Rn, Tn, intr,
+        )
+        fields = jnp.concatenate(
+            [
+                padf(proj["mean2d"]),
+                padf(proj["conic"]),
+                padf(colors),
+                padf(proj["depth"][:, None]),
+                padf(opac[:, None]),
+            ],
+            axis=1,
+        )  # (C+1, 10)
+        return fields, proj
+
+    zeros6 = jnp.zeros((6,), jnp.float32)
+    fields0, proj0 = fields_of(zeros6)
+    J = jax.jacfwd(lambda d: fields_of(d)[0])(zeros6)  # (C+1, 10, 6)
+    FJ = jnp.concatenate(
+        [jax.lax.stop_gradient(fields0)[:, :, None], jax.lax.stop_gradient(J)],
+        axis=2,
+    )  # (C+1, 10, 7)
+    return FJ[bins.gid], proj0
+
+
+def rasterize_lin(
+    tpj: jax.Array,  # (NB, KC, TG, 10, 7) from pose_lin_gather
+    dtau: jax.Array,  # (6,) delta from the linearization pose (differentiable)
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    bins: PackedBins,
+) -> RenderOutput:
+    """Blend the pose-linearized per-row fields at tau = dtau.
+
+    Per-iteration cost is kernel-only: the field build and the tau backward
+    are row-local einsums against the pre-gathered Jacobian — no projection,
+    no gather, no scatter in the loop. Values/gradients are exact at
+    dtau = 0 and first-order accurate in ||dtau|| away from it."""
+    ntx, nty = cfg.grid(intr)
+    T = ntx * nty
+    TG = cfg.tile_group
+    n_groups = -(-T // TG)
+    P = cfg.tile_size * cfg.tile_size
+
+    tp = tpj[..., 0] + jnp.einsum("...fd,d->...f", tpj[..., 1:], dtau)
+
+    interpret = jax.default_backend() == "cpu"
+    from .rasterizer_pallas import pallas_blend_packed
+
+    acc, trans, _nt = pallas_blend_packed(
+        tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
+        ntx, nty, cfg.tile_size, TG, n_groups, interpret,
+    )
+    take = bins.inv[:T]
+    acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
+    trans_t = trans[:n_groups].reshape(n_groups * TG, P)[take]
+    bg = (
+        jnp.ones((3,), jnp.float32)
+        if cfg.white_background
+        else jnp.zeros((3,), jnp.float32)
+    )
+    img_t = acc_t[:, :3, :].transpose(0, 2, 1) + trans_t[..., None] * bg[None, None, :]
+    depth_t = acc_t[:, 3, :]
+    alpha_t = 1.0 - trans_t
+
+    H, W = intr.height, intr.width
+    ts = cfg.tile_size
+    image = _tiles_to_image(img_t, ntx, nty, ts, H, W).transpose(2, 0, 1)
+    depth = _tiles_to_image(depth_t, ntx, nty, ts, H, W)[None]
+    opacity = _tiles_to_image(alpha_t, ntx, nty, ts, H, W)[None]
+    return RenderOutput(
+        image=image,
+        depth=depth,
+        opacity=opacity,
+        radii=None,
+        visibility_filter=None,
+        n_touched=None,
+    )
+
+
 def rasterize_pose_lin(
     params: Dict[str, jax.Array],
     active: jax.Array,
@@ -988,9 +1097,15 @@ def prepare_bins(
 
 
 def probe_saturation_caps(tile_idx, slot_valid, proj, params, active, cfg,
-                          ntx, nty):
+                          ntx, nty, want_touched=False):
     """FULL-depth gradient-free probe blend -> per-tile useful-depth caps
-    (true caps, no truncation bias). See saturation_caps."""
+    (true caps, no truncation bias). See saturation_caps.
+
+    With `want_touched`, also returns a (C,) bool of per-Gaussian
+    visibility (any pixel blend weight > 0 in the FULL-depth blend) —
+    the exact `n_touched > 0` semantics that a budget-capped render
+    cannot provide (sub-LSB contributors render as untouched there,
+    which over-prunes; PERFORMANCE.md round 2)."""
     from ..gaussian.model import SH_C0
     from .rasterizer_pallas import _packed_fwd_call
 
@@ -1028,11 +1143,19 @@ def probe_saturation_caps(tile_idx, slot_valid, proj, params, active, cfg,
         tile_group=cfg.tile_group, n_groups=n_groups, interpret=interpret,
         probe_wmax=True,
     )
-    return saturation_caps(
+    caps = saturation_caps(
         pb, jax.lax.stop_gradient(wmax), T,
         tile_group=cfg.tile_group, max_per_tile=cfg.max_per_tile,
         tol=cfg.feedback_tol,
     )
+    if not want_touched:
+        return caps
+    touched = (
+        jnp.zeros((C + 1,), bool)
+        .at[pb.gid.reshape(-1)]
+        .max((wmax > 0).reshape(-1), mode="drop")[:C]
+    )
+    return caps, touched
 
 
 def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty,
@@ -1064,6 +1187,58 @@ def _pack_for_cfg(tile_idx, slot_valid, proj, params, active, cfg, ntx, nty,
         tile_cap=tile_cap,
         sort_by_depth=True,
     )
+
+
+def prepare_bins_with_touched(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    margin: float = 0.0,
+):
+    """prepare_bins for the MAPPING loop under saturation feedback.
+
+    Returns (packed bins, touched) where `touched` is the full-depth
+    probe's (C,) per-Gaussian visibility. The mapping loop's
+    `n_touched > 0` consumers (covisibility occ_vis, opacity-reset
+    visible_any — reference utils/slam_backend.py:311-315,372-376) must
+    see FULL-depth visibility: with budget-capped renders, sub-LSB
+    contributors report untouched and get over-pruned (~2x, keyframe
+    storm — PERFORMANCE.md round 2). The probe (which feedback packing
+    needs anyway) provides exact visibility for free, so capped renders
+    become a pure speed knob. Requires cfg.use_packed + saturation_feedback.
+    """
+    assert cfg.use_pallas and cfg.use_packed and cfg.saturation_feedback
+    ntx, nty = cfg.grid(intr)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t, intr
+    )
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(proj["mean2d"]),
+        jax.lax.stop_gradient(proj["radius"]),
+        jax.lax.stop_gradient(proj["depth"]),
+        proj["valid"],
+        margin,
+        ntx=ntx,
+        nty=nty,
+        tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile,
+        tile_chunk=cfg.tile_chunk,
+        coarse_factor=cfg.coarse_factor,
+        max_per_coarse=cfg.max_per_coarse,
+        use_approx_topk=cfg.use_approx_topk,
+        approx_recall=cfg.approx_recall,
+    )
+    caps, touched = probe_saturation_caps(
+        bins[0], bins[1], proj, params, active, cfg, ntx, nty,
+        want_touched=True,
+    )
+    pb = _pack_for_cfg(
+        bins[0], bins[1], proj, params, active, cfg, ntx, nty, tile_cap=caps
+    )
+    return pb, touched
 
 
 def prepare_bins_with_caps(

@@ -24,7 +24,9 @@ from ..core import lie
 from ..core.camera import Intrinsics
 from ..core.losses import l1_loss, ssim, masked_mean, isotropic_reg
 from ..gaussian import model as gm
-from ..ops.rasterizer import RenderConfig, prepare_bins, rasterize
+from ..ops.rasterizer import (
+    RenderConfig, prepare_bins, prepare_bins_with_touched, rasterize,
+)
 from .state import KeyframeBuffer, camera_from_slot
 
 
@@ -385,21 +387,28 @@ def mapping_run(
         local_it: jax.Array
         loss: jax.Array
 
-    def iter_body(c: Carry, replay_slots, replay_w, bins) -> Carry:
+    def iter_body(c: Carry, replay_slots, replay_w, bins,
+                  touched_w=None) -> Carry:
         rng, k_densify = jax.random.split(c.rng, 2)
         it_count = c.it_count + 1
         local_it = c.local_it + 1
 
         # per-Gaussian touch counts are consumed only by the opacity-reset
         # branch and by the FINAL iteration's occ_visibility result — skip
-        # the (pairs,)-row scatter everywhere else
+        # the (pairs,)-row scatter everywhere else. Under saturation
+        # feedback the period probe supplies FULL-depth visibility
+        # (touched_w) instead, so the render-side scatter is never needed
+        # (and must not be used: capped renders under-report visibility).
         if mcfg.initialization:
             reset_pred = (it_count == mcfg.init_gaussian_reset) | (
                 it_count == mcfg.densify_from_iter
             )
         else:
             reset_pred = (it_count % mcfg.gaussian_reset == 0)
-        need_nt = reset_pred | (local_it >= local_end)
+        if touched_w is None:
+            need_nt = reset_pred | (local_it >= local_end)
+        else:
+            need_nt = False
 
         grads_fn = camera_grads_sharded if mesh is not None else camera_grads
         loss, g_params, g_tau, g_ab, gvs_norm, aux = grads_fn(
@@ -474,7 +483,11 @@ def mapping_run(
                 return gm.reset_opacity(g, opt_state=s)
 
         else:
-            visible_any = ((n_touched_all[:Ws] > 0) & window_valid[:, None]).any(axis=0)
+            if touched_w is None:
+                win_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+            else:
+                win_vis = touched_w & window_valid[:, None]
+            visible_any = win_vis.any(axis=0)
 
             def reset_fn(args):
                 g, s = args
@@ -501,7 +514,10 @@ def mapping_run(
         )
         abw = c.abw - jnp.where(expo_mask[:, None], upd_ab, 0.0)
 
-        occ_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+        if touched_w is None:
+            occ_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+        else:
+            occ_vis = touched_w & window_valid[:, None]
         return Carry(
             gmap=gmap,
             opt_state=opt_state,
@@ -565,22 +581,35 @@ def mapping_run(
         p = c.gmap.params()
         R_all = jnp.concatenate([c.Rw, kfbuf.R[replay_slots]], 0)
         T_all = jnp.concatenate([c.Tw, kfbuf.T[replay_slots]], 0)
-        bins_list = [
-            prepare_bins(
-                p, c.gmap.active, R_all[i], T_all[i], intr, rcfg,
-                margin=mcfg.bin_margin,
-            )
-            for i in range(Ncam)
-        ]
+        use_fb = rcfg.use_pallas and rcfg.use_packed and rcfg.saturation_feedback
+        bins_list, touched_list = [], []
+        for i in range(Ncam):
+            if use_fb and i < Ws:
+                # feedback probe doubles as the exact-visibility source
+                # for this period's n_touched consumers (see iter_body)
+                pb, tch = prepare_bins_with_touched(
+                    p, c.gmap.active, R_all[i], T_all[i], intr, rcfg,
+                    margin=mcfg.bin_margin,
+                )
+                bins_list.append(pb)
+                touched_list.append(tch)
+            else:
+                bins_list.append(
+                    prepare_bins(
+                        p, c.gmap.active, R_all[i], T_all[i], intr, rcfg,
+                        margin=mcfg.bin_margin,
+                    )
+                )
         bins = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *bins_list
         )
+        touched_w = jnp.stack(touched_list) if use_fb else None
         c = c._replace(rng=rng)
 
         stop_at = jnp.minimum(c.local_it + mcfg.rebin_every, local_end)
         return jax.lax.while_loop(
             lambda cc: cc.local_it < stop_at,
-            lambda cc: iter_body(cc, replay_slots, replay_w, bins),
+            lambda cc: iter_body(cc, replay_slots, replay_w, bins, touched_w),
             c,
         )
 

@@ -104,15 +104,17 @@ class SLAM:
         # caps make the small budget quality-safe (saturated tiles release
         # allocation instead of truncating needy ones)
         tb = perf.get("packed_tracking_budget", 0 if on_cpu else 96)
-        mb = perf.get("packed_mapping_budget", 0 if on_cpu else 192)
-        # feedback default: tracking ONLY. The map is frozen there so caps
-        # are provably valid, and policy visibility is dense-exact anyway.
-        # In mapping, capped final-iteration n_touched feeds covisibility
-        # PRUNING: sub-LSB contributors get n_obs=0 and are culled, which
-        # measured ~2x more aggressive pruning -> smaller map -> keyframe
-        # storms on the bench. Opt in per path after validating quality.
+        # tracking feedback: the map is frozen there so caps are provably
+        # valid, and policy visibility is dense-exact anyway.
         sat_t = perf.get("saturation_feedback", True)
-        sat_m = perf.get("saturation_feedback_mapping", False)
+        # mapping feedback: capped renders under-report n_touched (sub-LSB
+        # contributors read untouched -> ~2x over-pruning, keyframe storms
+        # when naively enabled in round 2). mapping_run now sources its
+        # n_touched>0 consumers from the probe's FULL-depth visibility
+        # (prepare_bins_with_touched), so the cap is a pure speed knob and
+        # feedback-128 (exact at the 1-LSB tolerance) is the default.
+        sat_m = perf.get("saturation_feedback_mapping", True)
+        mb = perf.get("packed_mapping_budget", 0 if on_cpu else (128 if sat_m else 192))
         self.rcfg_track = (
             _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=tb,
                         saturation_feedback=sat_t)
@@ -158,6 +160,13 @@ class SLAM:
             # 1e-4 is reference parity; measured accuracy/time ladder on the
             # synthetic scene: 3e-4 halves iterations at ~3x the residual
             convergence_eps=tr.get("convergence_eps", 1e-4),
+            # loss-plateau exit (period granularity): the Adam step-norm
+            # criterion above cannot fire while gradients keep a consistent
+            # direction (step magnitude floors at ~lr; see
+            # tools/perf_track_convergence.py), so plateau detection is the
+            # exit that actually bounds tracking cost on shallow valleys
+            plateau_tol=tr.get("plateau_tol", 0.005),
+            plateau_min_iters=tr.get("plateau_min_iters", 40),
         )
 
         common = dict(

@@ -24,8 +24,8 @@ from ..core import lie
 from ..core.camera import Camera, Intrinsics
 from ..core.losses import get_median_depth
 from ..ops.rasterizer import (
-    PackedBins, RenderConfig, prepare_bins, prepare_bins_with_caps, rasterize,
-    rasterize_pose_lin,
+    PackedBins, RenderConfig, pose_lin_gather, prepare_bins,
+    prepare_bins_with_caps, rasterize, rasterize_lin, rasterize_pose_lin,
 )
 
 
@@ -51,6 +51,25 @@ class TrackingConfig:
     # scatter + projection transpose but pays a 6-tangent projection
     # Jacobian per iteration — whether it wins depends on map size vs rows
     pose_lin: bool = False
+    # period-linearized rendering (packed path only): linearize the per-row
+    # fields in the pose ONCE per rebin period (pose_lin_gather) and render
+    # each iteration as value + Jacobian·tau_acc (rasterize_lin) — the
+    # per-iteration chain becomes kernel-only (no projection, no row gather,
+    # no backward scatter; those run once per period). First-order accurate
+    # in the pose drift since the period start, which the rebin margin
+    # already bounds to sub-pixel scale.
+    lin_period: bool = True
+    # loss-plateau early exit, checked at rebin-period boundaries: stop when
+    # a full period improved the loss by less than `plateau_tol` (relative).
+    # Motivation (tools/perf_track_convergence.py): with Adam, the step-norm
+    # criterion ||tau|| < 1e-4 (reference utils/pose_utils.py:82) can only
+    # fire when gradients oscillate — the bias-corrected step magnitude
+    # floors at ~lr (1.2e-3 measured) while gradients keep a consistent
+    # direction, so on scenes with a shallow photometric valley the loop
+    # always runs to max_iters although the loss settles by ~iter 30-50.
+    # The period check is above rebinning's ~0.1% loss jitter. <=0 disables.
+    plateau_tol: float = 0.005
+    plateau_min_iters: int = 40
 
 
 class TrackState(NamedTuple):
@@ -69,6 +88,7 @@ class TrackState(NamedTuple):
     n_touched: jax.Array  # (C,)
     loss: jax.Array
     caps: jax.Array  # (T,) saturation caps, probed once (-1 = not yet)
+    tau_acc: jax.Array  # (6,) pose drift since the period's linearization
 
 
 class TrackResult(NamedTuple):
@@ -132,6 +152,58 @@ def track_camera(
         [jnp.full((3,), tcfg.lr_trans), jnp.full((3,), tcfg.lr_rot)]
     )
 
+    def lin_loss_fn(tau, ab, tau_acc, tpj, bins):
+        out = rasterize_lin(tpj, tau_acc + tau, intr, rcfg, bins)
+        image_ab = jnp.exp(ab[0]) * out.image + ab[1]
+        l1 = out.opacity * jnp.abs(image_ab * rgb_mask - gt * rgb_mask)
+        return l1.mean(), out
+
+    lin_grad_fn = jax.value_and_grad(lin_loss_fn, argnums=(0, 1), has_aux=True)
+
+    def body_with_tpj(s: TrackState, tpj, bins) -> TrackState:
+        """Period-linearized step: render at the accumulated pose drift;
+        the whole chain is row-local (see rasterize_lin)."""
+        (loss, out), (g_tau, g_ab) = lin_grad_fn(
+            jnp.zeros(6), s.ab, s.tau_acc, tpj, bins
+        )
+        it = s.it + 1
+        itf = it.astype(jnp.float32)
+
+        m_tau = tcfg.b1 * s.m_tau + (1 - tcfg.b1) * g_tau
+        v_tau = tcfg.b2 * s.v_tau + (1 - tcfg.b2) * g_tau * g_tau
+        mhat = m_tau / (1 - tcfg.b1**itf)
+        vhat = v_tau / (1 - tcfg.b2**itf)
+        tau_new = -lr_tau * mhat / (jnp.sqrt(vhat) + tcfg.adam_eps)
+
+        m_ab = tcfg.b1 * s.m_ab + (1 - tcfg.b1) * g_ab
+        v_ab = tcfg.b2 * s.v_ab + (1 - tcfg.b2) * g_ab * g_ab
+        ab = s.ab - tcfg.lr_exposure * (m_ab / (1 - tcfg.b1**itf)) / (
+            jnp.sqrt(v_ab / (1 - tcfg.b2**itf)) + tcfg.adam_eps
+        )
+
+        R, T = lie.apply_delta(s.R, s.T, tau_new)
+        done = jnp.linalg.norm(tau_new) < tcfg.convergence_eps
+        return TrackState(
+            R=R,
+            T=T,
+            ab=ab,
+            m_tau=m_tau,
+            v_tau=v_tau,
+            m_ab=m_ab,
+            v_ab=v_ab,
+            it=it,
+            done=done,
+            image=out.image,
+            depth=out.depth,
+            opacity=out.opacity,
+            n_touched=s.n_touched,
+            loss=loss,
+            caps=s.caps,
+            # first-order accumulation of the left-multiplied deltas (BCH
+            # truncation matches the linearization's own order)
+            tau_acc=s.tau_acc + tau_new,
+        )
+
     def body_with_bins(s: TrackState, bins) -> TrackState:
         (loss, out), (g_tau, g_ab) = grad_fn(jnp.zeros(6), s.ab, s.R, s.T, bins)
         it = s.it + 1
@@ -167,6 +239,7 @@ def track_camera(
             n_touched=out.n_touched,
             loss=loss,
             caps=s.caps,
+            tau_acc=s.tau_acc,
         )
 
     def outer_cond(s: TrackState):
@@ -185,9 +258,28 @@ def track_camera(
                 st.it < s.it + tcfg.rebin_every
             )
 
-        return jax.lax.while_loop(
-            inner_cond, lambda st: body_with_bins(st, bins), s
-        )
+        if tcfg.lin_period and isinstance(bins, PackedBins):
+            # linearize the per-row fields at this period's pose; drift
+            # accumulates in tau_acc and restarts at zero here
+            tpj, _ = pose_lin_gather(params, active, s.R, s.T, intr, rcfg, bins)
+            s = s._replace(tau_acc=jnp.zeros(6))
+            s2 = jax.lax.while_loop(
+                inner_cond, lambda st: body_with_tpj(st, tpj, bins), s
+            )
+        else:
+            s2 = jax.lax.while_loop(
+                inner_cond, lambda st: body_with_bins(st, bins), s
+            )
+        if tcfg.plateau_tol > 0:
+            # loss-plateau exit at period granularity (see TrackingConfig):
+            # s.loss is the previous period's final loss (0 before the first)
+            plateau = (
+                (s.loss > 0)
+                & (s2.it >= tcfg.plateau_min_iters)
+                & (s.loss - s2.loss < tcfg.plateau_tol * s.loss)
+            )
+            s2 = s2._replace(done=s2.done | plateau)
+        return s2
 
     H, W = intr.height, intr.width
     C = params["means"].shape[0]
@@ -208,6 +300,7 @@ def track_camera(
         n_touched=jnp.zeros((C,), jnp.int32),
         loss=jnp.zeros(()),
         caps=jnp.full((ntx * nty,), -1, jnp.int32),
+        tau_acc=jnp.zeros(6),
     )
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)
@@ -442,9 +535,19 @@ def track_camera_sharded(
                     st.it < s.it + tcfg.rebin_every
                 )
 
-            return jax.lax.while_loop(
+            s2 = jax.lax.while_loop(
                 inner_cond, lambda st: body_with_bins(st, pbins), s
             )
+            if tcfg.plateau_tol > 0:
+                # same loss-plateau period exit as track_camera; s.loss is
+                # psum'd so the decision is identical on every device
+                plateau = (
+                    (s.loss > 0)
+                    & (s2.it >= tcfg.plateau_min_iters)
+                    & (s.loss - s2.loss < tcfg.plateau_tol * s.loss)
+                )
+                s2 = s2._replace(done=s2.done | plateau)
+            return s2
 
         hl = rows_per * ts
         init = SState(

@@ -241,6 +241,46 @@ def test_mapping_partial_window_padded():
     assert int(res.occ_visibility[1:].sum()) == 0
 
 
+def test_mapping_with_saturation_feedback_exact_visibility():
+    """Feedback-capped mapping must source occ_visibility from the probe's
+    FULL-depth blend (prepare_bins_with_touched), not from the capped
+    renders — capped n_touched under-reports and over-prunes (round-2
+    regression). With one iteration (map ~unchanged), the probe visibility
+    must agree with a dense render's n_touched>0 almost everywhere."""
+    import dataclasses
+
+    buf, gmap, *_ = _make_kfbuf_and_map(seed=7)
+    opt = gm.MapOptimizer(spatial_scale=2.0)
+    opt_state = opt.init(gmap)
+    mcfg = MappingConfig(
+        window_size=1, n_random=0, up_pose=False,
+        gaussian_update_every=100000, gaussian_reset=100000,
+    )
+    cfg_fb = dataclasses.replace(
+        CFG, use_packed=True, slot_budget_per_tile=64, tile_group=4,
+        saturation_feedback=True,
+    )
+    window = jnp.array([0], jnp.int32)
+    # dense reference visibility at the pre-run map (gmap is DONATED to
+    # mapping_run); the 1-iteration run's probe sees this same map
+    dense = rasterize(
+        gmap.params(), gmap.active, buf.R[0], buf.T[0], INTR, CFG
+    )
+    occ_dense = np.asarray(dense.n_touched > 0)
+
+    res = mapping_run(
+        gmap, opt_state, buf, window,
+        jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+        jnp.asarray(1, jnp.int32),
+        intr=INTR, rcfg=cfg_fb, opt=opt, mcfg=mcfg,
+    )
+    assert np.isfinite(float(res.last_loss))
+    occ_fb = np.asarray(res.occ_visibility[0])
+    both = max(occ_dense.sum(), 1)
+    agree = (occ_dense == occ_fb).mean()
+    assert agree > 0.99, f"visibility agreement {agree} ({occ_fb.sum()} vs {occ_dense.sum()} of {both})"
+
+
 def test_tracking_with_saturation_feedback_recovers_pose():
     """track_camera with the packed+feedback config (probe-once caps carried
     across rebins, prepare_bins_with_caps) must still recover a perturbed
