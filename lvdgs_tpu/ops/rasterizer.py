@@ -628,9 +628,12 @@ def _blend_pallas_packed(
     tp = fields[pbins.gid]  # (NB, KC, TG, 10)
 
     interpret = jax.default_backend() == "cpu"
+    # a STATIC False also compiles the per-slot touched reductions out of
+    # the forward kernel (a traced flag can only gate the scatter below)
+    with_nt = need_n_touched if isinstance(need_n_touched, bool) else True
     acc, trans, nt = pallas_blend_packed(
         tp, pbins.cg, pbins.k0, jnp.zeros((1,), jnp.int32), pbins.tids,
-        ntx, nty, tile_size, TG, n_groups, interpret,
+        ntx, nty, tile_size, TG, n_groups, interpret, with_nt,
     )
     # kernel rows are in group-major (possibly depth-sorted) order; map back
     # to tile order through the pack's inverse permutation
@@ -737,7 +740,7 @@ def rasterize_lin(
 
     acc, trans, _nt = pallas_blend_packed(
         tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
-        ntx, nty, cfg.tile_size, TG, n_groups, interpret,
+        ntx, nty, cfg.tile_size, TG, n_groups, interpret, False,
     )
     take = bins.inv[:T]
     acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
@@ -848,6 +851,7 @@ def rasterize_pose_lin(
     acc, trans, nt = pallas_blend_packed(
         tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
         ntx, nty, cfg.tile_size, TG, n_groups, interpret,
+        need_n_touched if isinstance(need_n_touched, bool) else True,
     )
     take = bins.inv[:T]
     acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]

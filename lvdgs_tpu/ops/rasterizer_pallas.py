@@ -379,11 +379,14 @@ def _tid_pixel_coords(tid, ntx, ts):
 
 
 def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
-                            probe_wmax: bool = False):
+                            probe_wmax: bool = False, with_nt: bool = True):
     """With `probe_wmax` the nt output carries each slot's MAX blend weight
     over the tile's pixels, fixed-point x65536, instead of touched-pixel
     counts — the saturation-feedback probe suffix-sums these to find where
-    a tile's remaining contribution becomes imperceptible."""
+    a tile's remaining contribution becomes imperceptible. `with_nt=False`
+    compiles the per-slot (TG, P) -> (TG,) touched reductions out entirely
+    (the tracking loop and feedback-mapping never consume them; visibility
+    comes from a final exact render / the probe)."""
     P = ts * ts
 
     def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,
@@ -430,10 +433,11 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
                     nts.append(
                         jnp.round(w.max(axis=1) * 65536.0).astype(jnp.int32)
                     )
-                else:
+                elif with_nt:
                     nts.append((w > 0.0).sum(axis=1).astype(jnp.int32))
                 trans = trans * (1.0 - alpha)
-            nt_ref[0] = jnp.stack(nts, axis=0)  # one (KC, TG) store
+            if nts:
+                nt_ref[0] = jnp.stack(nts, axis=0)  # one (KC, TG) store
             acc_ref[0, 0] = ar
             acc_ref[0, 1] = ag
             acc_ref[0, 2] = ab
@@ -544,15 +548,15 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
 
 @functools.partial(
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
-                              "interpret", "probe_wmax")
+                              "interpret", "probe_wmax", "with_nt")
 )
 def _packed_fwd_call(tp, cg, k0, goff, tids, *, ntx, nty, tile_size, tile_group,
-                     n_groups, interpret, probe_wmax=False):
+                     n_groups, interpret, probe_wmax=False, with_nt=True):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
-    kernel = _make_packed_fwd_kernel(TG, ntx, ts, probe_wmax)
+    kernel = _make_packed_fwd_kernel(TG, ntx, ts, probe_wmax, with_nt)
     tids = tids.reshape(NB, 1, TG)  # (1, 1, TG) blocks satisfy TPU tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -630,9 +634,9 @@ def _packed_bwd_call(tp, cg, k0, goff, tids, acc, trans, dacc, dtrans, *, ntx,
     return dtp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def pallas_blend_packed(tp, cg, k0, goff, tids, ntx, nty, tile_size,
-                        tile_group, n_groups, interpret):
+                        tile_group, n_groups, interpret, with_nt=True):
     """Front-to-back blend over packed chunk lists.
 
     tp: (NB, KC, TG, NF) float32 pre-gathered fields, depth-sorted within
@@ -647,25 +651,29 @@ def pallas_blend_packed(tp, cg, k0, goff, tids, ntx, nty, tile_size,
     ids start at goff, making the kernel's pixel coordinates global.
     Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)) —
     acc/trans rows are in GROUP order; map back to tiles via tids.
-    Differentiable w.r.t. tp.
+    Differentiable w.r.t. tp. `with_nt=False` compiles the touched-count
+    reductions out of the kernel (nt returns zeros).
     """
     return _packed_fwd_call(
         tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
+        with_nt=with_nt,
     )
 
 
 def _pbp_fwd(tp, cg, k0, goff, tids, ntx, nty, tile_size, tile_group, n_groups,
-             interpret):
+             interpret, with_nt=True):
     out = _packed_fwd_call(
         tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
+        with_nt=with_nt,
     )
     acc, trans, nt = out
     return out, (tp, cg, k0, goff, tids, acc, trans)
 
 
-def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, res, cot):
+def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, with_nt,
+             res, cot):
     tp, cg, k0, goff, tids, acc, trans = res
     dacc, dtrans, _dnt = cot
     dtp = _packed_bwd_call(
