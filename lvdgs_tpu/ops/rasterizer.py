@@ -97,6 +97,14 @@ class RenderConfig:
     # where the suffix sum of its slots' max blend weights falls below this
     # (default: one 8-bit LSB)
     feedback_tol: float = 1.0 / 255.0
+    # bfloat16 weight math in the packed blend kernels (fwd + bwd): the
+    # per-slot quadratic/exp/alpha chain runs at the VPU's native (16, 128)
+    # bf16 tiling (2x elements per vreg), with coordinates recentred per
+    # tile and alpha widened to f32 for the transmittance chain and the
+    # accumulations. ~0.4% relative alpha error — validate per path
+    # (tracking/mapping tolerate optimizer-grade gradients; eval and prune
+    # renders should stay exact f32)
+    blend_bf16: bool = False
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -601,6 +609,7 @@ def _blend_pallas_packed(
     tile_size: int,
     tile_group: int,
     need_n_touched: jax.Array | bool = True,
+    bf16: bool = False,
 ):
     """Packed-kernel blending path: gathers only the budgeted slots
     (differentiable — its transpose is the per-Gaussian scatter-add) and
@@ -633,7 +642,7 @@ def _blend_pallas_packed(
     with_nt = need_n_touched if isinstance(need_n_touched, bool) else True
     acc, trans, nt = pallas_blend_packed(
         tp, pbins.cg, pbins.k0, jnp.zeros((1,), jnp.int32), pbins.tids,
-        ntx, nty, tile_size, TG, n_groups, interpret, with_nt,
+        ntx, nty, tile_size, TG, n_groups, interpret, with_nt, bf16,
     )
     # kernel rows are in group-major (possibly depth-sorted) order; map back
     # to tile order through the pack's inverse permutation
@@ -741,6 +750,7 @@ def rasterize_lin(
     acc, trans, _nt = pallas_blend_packed(
         tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
         ntx, nty, cfg.tile_size, TG, n_groups, interpret, False,
+        cfg.blend_bf16,
     )
     take = bins.inv[:T]
     acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
@@ -852,6 +862,7 @@ def rasterize_pose_lin(
         tp, bins.cg, bins.k0, jnp.zeros((1,), jnp.int32), bins.tids,
         ntx, nty, cfg.tile_size, TG, n_groups, interpret,
         need_n_touched if isinstance(need_n_touched, bool) else True,
+        cfg.blend_bf16,
     )
     take = bins.inv[:T]
     acc_t = acc[:n_groups].transpose(0, 2, 1, 3).reshape(n_groups * TG, 4, P)[take]
@@ -1383,6 +1394,7 @@ def rasterize(
             tile_size=cfg.tile_size,
             tile_group=cfg.tile_group,
             need_n_touched=need_n_touched,
+            bf16=cfg.blend_bf16,
         )
     elif cfg.use_pallas:
         img_t, depth_t, alpha_t, n_touched = _blend_pallas(

@@ -379,14 +379,20 @@ def _tid_pixel_coords(tid, ntx, ts):
 
 
 def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
-                            probe_wmax: bool = False, with_nt: bool = True):
+                            probe_wmax: bool = False, with_nt: bool = True,
+                            bf16: bool = False):
     """With `probe_wmax` the nt output carries each slot's MAX blend weight
     over the tile's pixels, fixed-point x65536, instead of touched-pixel
     counts — the saturation-feedback probe suffix-sums these to find where
     a tile's remaining contribution becomes imperceptible. `with_nt=False`
     compiles the per-slot (TG, P) -> (TG,) touched reductions out entirely
     (the tracking loop and feedback-mapping never consume them; visibility
-    comes from a final exact render / the probe)."""
+    comes from a final exact render / the probe). `bf16=True` runs the
+    per-slot weight math (the bulk of the kernel's vector ops) in bfloat16
+    — native (16, 128) bf16 tiling packs 2x elements per vreg on the VPU —
+    with coordinates recentred on the tile origin so the bf16 ulp stays
+    sub-0.1px; alpha is widened to f32 for the transmittance chain and
+    the accumulations, bounding the error to ~0.4% of each slot's alpha."""
     P = ts * ts
 
     def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,
@@ -408,6 +414,13 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
             # shifts them in tile-sharded multi-chip rendering
             tid = tid_ref[0, 0][:, None] + goff_ref[0]  # (TG, 1)
             px, py = _tid_pixel_coords(tid, ntx, ts)
+            if bf16:
+                bt = jnp.bfloat16
+                ox = ((tid % ntx) * ts).astype(jnp.float32)  # (TG, 1)
+                oy = ((tid // ntx) * ts).astype(jnp.float32)
+                lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                pxl = (lin % ts).astype(bt)  # local coords < ts: bf16-exact
+                pyl = (lin // ts).astype(bt)
             trans = trans0
             ar = acc_ref[0, 0]
             ag = acc_ref[0, 1]
@@ -418,12 +431,26 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
                 p = tp_ref[0, kc]  # (TG, NF)
                 fl = [p[:, i : i + 1] for i in range(NF)]
                 mx, my, ca, cb, cc, cr, cgc, cbl, cd, op = fl
-                dx = px - mx
-                dy = py - my
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                raw = op * jnp.exp(power)
-                ok = (power <= 0.0) & (raw >= ALPHA_MIN)
-                alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
+                if bf16:
+                    dx = pxl - (mx - ox).astype(bt)
+                    dy = pyl - (my - oy).astype(bt)
+                    cab, cbb, ccb = ca.astype(bt), cb.astype(bt), cc.astype(bt)
+                    power = (
+                        bt(-0.5) * (cab * dx * dx + ccb * dy * dy)
+                        - cbb * dx * dy
+                    )
+                    raw = op.astype(bt) * jnp.exp(power)
+                    ok = (power <= bt(0.0)) & (raw >= bt(ALPHA_MIN))
+                    alpha = jnp.where(
+                        ok, jnp.minimum(bt(ALPHA_MAX), raw), bt(0.0)
+                    ).astype(jnp.float32)
+                else:
+                    dx = px - mx
+                    dy = py - my
+                    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                    raw = op * jnp.exp(power)
+                    ok = (power <= 0.0) & (raw >= ALPHA_MIN)
+                    alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
                 w = jnp.where(trans > T_EPS, alpha * trans, 0.0)
                 ar += w * cr
                 ag += w * cgc
@@ -447,7 +474,12 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
     return kernel
 
 
-def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
+def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int,
+                            bf16: bool = False):
+    """`bf16=True` recomputes the per-slot weights in bfloat16 (mirrors
+    the forward's bf16 math so replayed alpha matches the forward pass) and
+    evaluates the parameter-gradient products in bf16 with f32 reduction
+    accumulators; the transmittance/prefix chain and galpha stay f32."""
     P = ts * ts
 
     def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,
@@ -467,6 +499,13 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
         def _():
             tid = tid_ref[0, 0][:, None] + goff_ref[0]  # (TG, 1)
             px, py = _tid_pixel_coords(tid, ntx, ts)
+            if bf16:
+                bt = jnp.bfloat16
+                ox = ((tid % ntx) * ts).astype(jnp.float32)
+                oy = ((tid // ntx) * ts).astype(jnp.float32)
+                lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                pxl = (lin % ts).astype(bt)
+                pyl = (lin // ts).astype(bt)
             tot_r = acc_ref[0, 0]
             tot_g = acc_ref[0, 1]
             tot_b = acc_ref[0, 2]
@@ -488,13 +527,32 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
                 p = tp_ref[0, kc]
                 fl = [p[:, i : i + 1] for i in range(NF)]
                 mx, my, ca, cb, cc, cr, cgc, cbl, cd, op = fl
-                dx = px - mx
-                dy = py - my
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                G = jnp.exp(power)
-                raw = op * G
-                ok = (power <= 0.0) & (raw >= ALPHA_MIN)
-                alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
+                if bf16:
+                    dxb = pxl - (mx - ox).astype(bt)
+                    dyb = pyl - (my - oy).astype(bt)
+                    cab, cbb, ccb = ca.astype(bt), cb.astype(bt), cc.astype(bt)
+                    powerb = (
+                        bt(-0.5) * (cab * dxb * dxb + ccb * dyb * dyb)
+                        - cbb * dxb * dyb
+                    )
+                    Gb = jnp.exp(powerb)
+                    rawb = op.astype(bt) * Gb
+                    ok = (powerb <= bt(0.0)) & (rawb >= bt(ALPHA_MIN))
+                    alpha = jnp.where(
+                        ok, jnp.minimum(bt(ALPHA_MAX), rawb), bt(0.0)
+                    ).astype(jnp.float32)
+                    G = Gb.astype(jnp.float32)
+                    raw = rawb.astype(jnp.float32)
+                    dx = dxb.astype(jnp.float32)
+                    dy = dyb.astype(jnp.float32)
+                else:
+                    dx = px - mx
+                    dy = py - my
+                    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                    G = jnp.exp(power)
+                    raw = op * G
+                    ok = (power <= 0.0) & (raw >= ALPHA_MIN)
+                    alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
                 contributes = trans > T_EPS
                 w = jnp.where(contributes, alpha * trans, 0.0)
                 pr += w * cr
@@ -548,15 +606,16 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int):
 
 @functools.partial(
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
-                              "interpret", "probe_wmax", "with_nt")
+                              "interpret", "probe_wmax", "with_nt", "bf16")
 )
 def _packed_fwd_call(tp, cg, k0, goff, tids, *, ntx, nty, tile_size, tile_group,
-                     n_groups, interpret, probe_wmax=False, with_nt=True):
+                     n_groups, interpret, probe_wmax=False, with_nt=True,
+                     bf16=False):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
-    kernel = _make_packed_fwd_kernel(TG, ntx, ts, probe_wmax, with_nt)
+    kernel = _make_packed_fwd_kernel(TG, ntx, ts, probe_wmax, with_nt, bf16)
     tids = tids.reshape(NB, 1, TG)  # (1, 1, TG) blocks satisfy TPU tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -591,15 +650,16 @@ def _packed_fwd_call(tp, cg, k0, goff, tids, *, ntx, nty, tile_size, tile_group,
 
 @functools.partial(
     jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "n_groups",
-                              "interpret")
+                              "interpret", "bf16")
 )
 def _packed_bwd_call(tp, cg, k0, goff, tids, acc, trans, dacc, dtrans, *, ntx,
-                     nty, tile_size, tile_group, n_groups, interpret):
+                     nty, tile_size, tile_group, n_groups, interpret,
+                     bf16=False):
     NB = tp.shape[0]
     TG = tile_group
     ts = tile_size
     P = ts * ts
-    kernel = _make_packed_bwd_kernel(TG, ntx, ts)
+    kernel = _make_packed_bwd_kernel(TG, ntx, ts, bf16)
     tids = tids.reshape(NB, 1, TG)  # (1, 1, TG) blocks satisfy TPU tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -634,9 +694,10 @@ def _packed_bwd_call(tp, cg, k0, goff, tids, acc, trans, dacc, dtrans, *, ntx,
     return dtp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def pallas_blend_packed(tp, cg, k0, goff, tids, ntx, nty, tile_size,
-                        tile_group, n_groups, interpret, with_nt=True):
+                        tile_group, n_groups, interpret, with_nt=True,
+                        bf16=False):
     """Front-to-back blend over packed chunk lists.
 
     tp: (NB, KC, TG, NF) float32 pre-gathered fields, depth-sorted within
@@ -652,35 +713,36 @@ def pallas_blend_packed(tp, cg, k0, goff, tids, ntx, nty, tile_size,
     Returns (acc (G+1, 4, TG, P), trans (G+1, TG, P), nt (NB, KC, TG)) —
     acc/trans rows are in GROUP order; map back to tiles via tids.
     Differentiable w.r.t. tp. `with_nt=False` compiles the touched-count
-    reductions out of the kernel (nt returns zeros).
+    reductions out of the kernel (nt returns zeros). `bf16=True` runs the
+    per-slot weight math in bfloat16 (see the kernel factories).
     """
     return _packed_fwd_call(
         tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
-        with_nt=with_nt,
+        with_nt=with_nt, bf16=bf16,
     )
 
 
 def _pbp_fwd(tp, cg, k0, goff, tids, ntx, nty, tile_size, tile_group, n_groups,
-             interpret, with_nt=True):
+             interpret, with_nt=True, bf16=False):
     out = _packed_fwd_call(
         tp, cg, k0, goff, tids, ntx=ntx, nty=nty, tile_size=tile_size,
         tile_group=tile_group, n_groups=n_groups, interpret=interpret,
-        with_nt=with_nt,
+        with_nt=with_nt, bf16=bf16,
     )
     acc, trans, nt = out
     return out, (tp, cg, k0, goff, tids, acc, trans)
 
 
 def _pbp_bwd(ntx, nty, tile_size, tile_group, n_groups, interpret, with_nt,
-             res, cot):
+             bf16, res, cot):
     tp, cg, k0, goff, tids, acc, trans = res
     dacc, dtrans, _dnt = cot
     dtp = _packed_bwd_call(
         tp, cg, k0, goff, tids, acc, trans, dacc[: acc.shape[0]],
         dtrans[: trans.shape[0]],
         ntx=ntx, nty=nty, tile_size=tile_size, tile_group=tile_group,
-        n_groups=n_groups, interpret=interpret,
+        n_groups=n_groups, interpret=interpret, bf16=bf16,
     )
     return dtp, None, None, None, None
 

@@ -115,14 +115,18 @@ class SLAM:
         # feedback-128 (exact at the 1-LSB tolerance) is the default.
         sat_m = perf.get("saturation_feedback_mapping", True)
         mb = perf.get("packed_mapping_budget", 0 if on_cpu else (128 if sat_m else 192))
+        # bf16 weight math in the packed blend kernels (optimizer-facing
+        # renders only; eval/prune renders stay exact f32). Opt-in until
+        # quality-gated on the TPU.
+        bfb = perf.get("blend_bf16", False)
         self.rcfg_track = (
             _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=tb,
-                        saturation_feedback=sat_t)
+                        saturation_feedback=sat_t, blend_bf16=bfb)
             if tb else self.rcfg
         )
         self.rcfg_map = (
             _dc.replace(self.rcfg, use_packed=True, slot_budget_per_tile=mb,
-                        saturation_feedback=sat_m)
+                        saturation_feedback=sat_m, blend_bf16=bfb)
             if mb else self.rcfg
         )
         # the map starts small and grows by powers of two toward

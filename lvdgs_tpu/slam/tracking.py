@@ -445,7 +445,7 @@ def track_camera_sharded(
             tp = fields[pbins.gid]
             acc, trans, nt = pallas_blend_packed(
                 tp, pbins.cg, pbins.k0, tile_off, pbins.tids, ntx_p, nty_p,
-                ts, TG, groups_per, interpret, need_nt,
+                ts, TG, groups_per, interpret, need_nt, rcfg.blend_bf16,
             )
             acc_t = acc[:groups_per].transpose(0, 2, 1, 3).reshape(T_local, 4, P)
             trans_t = trans[:groups_per].reshape(T_local, P)

@@ -168,7 +168,10 @@ def test_tile_sharded_tracking_matches_single():
     Rp, Tp = lie.apply_delta(jnp.eye(3), jnp.zeros(3), tau)
     cam = Camera.create(0, gt.image, intr).update_RT(Rp, Tp)
 
-    tcfg = TrackingConfig(max_iters=30, rebin_every=5)
+    # lin_period off: the single-chip tracker's period-linearized rendering
+    # is a (validated) approximation the sharded path doesn't use — this
+    # test isolates SHARDING equivalence, so both sides render exactly
+    tcfg = TrackingConfig(max_iters=30, rebin_every=5, lin_period=False)
     ref = track_camera(params, active, cam, intr, rcfg, tcfg)
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
     out = track_camera_sharded(params, active, cam, intr, rcfg, tcfg, mesh=mesh)

@@ -247,3 +247,33 @@ def test_pose_lin_matches_autodiff():
     v_ad1 = loss_ad(tau1)
     v_lin1 = loss_lin(tau1)
     np.testing.assert_allclose(float(v_lin1), float(v_ad1), rtol=1e-5)
+
+
+def test_blend_bf16_close_to_f32():
+    """bf16 weight math in the packed kernels: forward within bf16 noise of
+    f32 (alpha relative error ~2^-8), gradients directionally equal — the
+    optimizer-facing quality bar (RenderConfig.blend_bf16)."""
+    cfg_bf = dataclasses.replace(CFG_PACKED, blend_bf16=True)
+    params, active = make_scene(120, seed=11)
+
+    a = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_PACKED)
+    b = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, cfg_bf)
+    img_a, img_b = np.asarray(a.image), np.asarray(b.image)
+    # ~0.4% relative alpha error compounds through the transmittance chain;
+    # bound the pixel error at ~2% absolute and require high PSNR
+    assert np.abs(img_a - img_b).max() < 0.02
+    mse = np.mean((img_a - img_b) ** 2)
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 45.0
+
+    def loss(p, cfg):
+        out = rasterize(p, active, jnp.eye(3), jnp.zeros(3), INTR, cfg,
+                        need_n_touched=False)
+        return (out.opacity * jnp.abs(out.image - 0.4)).mean()
+
+    ga = jax.grad(lambda p: loss(p, CFG_PACKED))(params)
+    gb = jax.grad(lambda p: loss(p, cfg_bf))(params)
+    for field in ["means", "log_scales", "logit_opacities", "features_dc"]:
+        va = np.asarray(ga[field]).ravel()
+        vb = np.asarray(gb[field]).ravel()
+        cos = np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)
+        assert cos > 0.999, f"{field}: grad cosine {cos}"

@@ -49,6 +49,10 @@ def main():
         ("fb96", dataclasses.replace(slam.rcfg, use_packed=True,
                                      slot_budget_per_tile=96,
                                      saturation_feedback=True)),
+        ("fb96_bf16", dataclasses.replace(slam.rcfg, use_packed=True,
+                                          slot_budget_per_tile=96,
+                                          saturation_feedback=True,
+                                          blend_bf16=True)),
     ):
         errs_r, errs_t, iters = [], [], []
         for trial, kf in enumerate(slam.current_window[:3]):
