@@ -44,7 +44,9 @@ from .mapping import (
     MappingConfig, color_refine_run, covisibility_prune,
     covisibility_prune_from_occ, global_ba_run, mapping_run,
 )
-from .tracking import TrackingConfig, track_camera, track_camera_sharded
+from .tracking import (
+    TrackingConfig, track_camera, track_camera_pyramid, track_camera_sharded,
+)
 
 
 def _dilate_mask(mask: jax.Array, kernel: int) -> jax.Array:
@@ -171,6 +173,10 @@ class SLAM:
             # exit that actually bounds tracking cost on shallow valleys
             plateau_tol=tr.get("plateau_tol", 0.005),
             plateau_min_iters=tr.get("plateau_min_iters", 40),
+            # coarse-to-fine tracking (track_camera_pyramid): half-res stage
+            # first, 4x fewer budgeted rows/iter; single-chip path only
+            pyramid=tr.get("track_pyramid", False),
+            coarse_iters=tr.get("track_coarse_iters", 60),
         )
 
         common = dict(
@@ -693,6 +699,11 @@ class SLAM:
             res = track_camera_sharded(
                 self.gmap.params(), self.gmap.active, cam, self.intr,
                 self.rcfg_track, self.tcfg, mesh=self.mesh,
+            )
+        elif self.tcfg.pyramid:
+            res = track_camera_pyramid(
+                self.gmap.params(), self.gmap.active, cam, self.intr,
+                self.rcfg_track, self.tcfg,
             )
         else:
             res = track_camera(

@@ -70,6 +70,19 @@ class TrackingConfig:
     # The period check is above rebinning's ~0.1% loss jitter. <=0 disables.
     plateau_tol: float = 0.005
     plateau_min_iters: int = 40
+    # coarse-to-fine (track_camera_pyramid): a half-resolution stage (4x
+    # fewer tiles -> 4x fewer budgeted rows per iteration) seeds the
+    # full-resolution loop, which then needs only a few periods to polish.
+    # TPU-native speed choice with no reference counterpart (the reference
+    # tracks full-res only, utils/slam_frontend.py:1468-1521); gated by the
+    # same pose-recovery / e2e quality tools as the packed budgets.
+    pyramid: bool = False
+    coarse_iters: int = 60
+    coarse_min_iters: int = 20
+    fine_min_iters: int = 20  # pyramid fine stage: first-period exit allowed
+    # skip the final dense bookkeeping render (pyramid coarse stage only —
+    # its n_touched is never consumed)
+    final_render: bool = True
 
 
 class TrackState(NamedTuple):
@@ -310,7 +323,12 @@ def track_camera(
     # which would silently skew curr_vis and hence keyframe selection /
     # window-eviction overlap ratios (ADVICE r1).
     rcfg_exact = dataclasses.replace(rcfg, use_packed=False)
-    final = rasterize(params, active, s.R, s.T, intr, rcfg_exact)
+    if tcfg.final_render:
+        final_nt = rasterize(params, active, s.R, s.T, intr, rcfg_exact).n_touched
+    else:
+        # pyramid coarse stage: its n_touched is never consumed (the fine
+        # stage redoes the bookkeeping at full resolution)
+        final_nt = jnp.zeros((C,), jnp.int32)
     return TrackResult(
         R=s.R,
         T=s.T,
@@ -319,11 +337,94 @@ def track_camera(
         image=s.image,
         depth=s.depth,
         opacity=s.opacity,
-        n_touched=final.n_touched,
+        n_touched=final_nt,
         median_depth=median_depth,
         iterations=s.it,
         loss=s.loss,
     )
+
+
+def _downsample2_image(img: jax.Array) -> jax.Array:
+    """(3, H, W) -> (3, H//2, W//2) 2x2 mean pool (crops odd edges)."""
+    C, H, W = img.shape
+    H2, W2 = H // 2, W // 2
+    return img[:, : H2 * 2, : W2 * 2].reshape(C, H2, 2, W2, 2).mean(axis=(2, 4))
+
+
+def _downsample2_mask(mask: jax.Array) -> jax.Array:
+    """(H, W) bool -> (H//2, W//2) any-pool: a coarse pixel is loss-gated in
+    if any of its fine pixels was."""
+    H, W = mask.shape
+    H2, W2 = H // 2, W // 2
+    return mask[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).any(axis=(1, 3))
+
+
+def half_res_intrinsics(intr: Intrinsics) -> Intrinsics:
+    """Pixel-center-correct half-resolution intrinsics: fine-pixel center
+    u_f maps to coarse coordinate (u_f - 0.5) / 2."""
+    return Intrinsics(
+        fx=intr.fx / 2.0,
+        fy=intr.fy / 2.0,
+        cx=(intr.cx - 0.5) / 2.0,
+        cy=(intr.cy - 0.5) / 2.0,
+        width=intr.width // 2,
+        height=intr.height // 2,
+    )
+
+
+def track_camera_pyramid(
+    params,
+    active,
+    cam: Camera,
+    intr: Intrinsics,
+    rcfg: RenderConfig,
+    tcfg: TrackingConfig,
+) -> TrackResult:
+    """Coarse-to-fine tracking (TrackingConfig.pyramid).
+
+    A half-resolution stage runs first: 4x fewer tiles means 4x fewer
+    budgeted rows through the row-serialized gather/blend plumbing per
+    iteration. The full-resolution stage starts from the coarse pose and
+    exposure, so its plateau exit typically fires after a period or two.
+    The slot budget is doubled for the coarse stage (each coarse tile
+    covers 4 fine tiles' content; front-most-kept truncation above that).
+    TPU-native speed choice with no reference counterpart (the reference
+    tracks full-res only, utils/slam_frontend.py:1468-1521); quality-gated
+    by tools/perf_track_quality.py and the e2e tests like the packed
+    budgets."""
+    intr2 = half_res_intrinsics(intr)
+    cam2 = cam.replace(
+        image=_downsample2_image(cam.image),
+        grad_mask=_downsample2_mask(cam.grad_mask),
+        # unused by tracking; shapes must match intr2 for jit cache reuse
+        depth=jnp.zeros((intr2.height, intr2.width), jnp.float32),
+        mono_depth=jnp.zeros((intr2.height, intr2.width), jnp.float32),
+        static_mask=jnp.ones((intr2.height, intr2.width), bool),
+    )
+    rcfg2 = rcfg
+    if rcfg.use_packed:
+        rcfg2 = dataclasses.replace(
+            rcfg,
+            slot_budget_per_tile=min(
+                rcfg.max_per_tile, rcfg.slot_budget_per_tile * 2
+            ),
+        )
+    tcfg_c = dataclasses.replace(
+        tcfg,
+        max_iters=tcfg.coarse_iters,
+        plateau_min_iters=tcfg.coarse_min_iters,
+        final_render=False,
+    )
+    res_c = track_camera(params, active, cam2, intr2, rcfg2, tcfg_c)
+
+    cam_f = cam.update_RT(res_c.R, res_c.T).replace(
+        exposure_a=res_c.exposure_a, exposure_b=res_c.exposure_b
+    )
+    tcfg_f = dataclasses.replace(
+        tcfg, plateau_min_iters=tcfg.fine_min_iters
+    )
+    res_f = track_camera(params, active, cam_f, intr, rcfg, tcfg_f)
+    return res_f._replace(iterations=res_c.iterations + res_f.iterations)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "rcfg", "tcfg", "mesh"))

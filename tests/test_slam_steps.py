@@ -310,3 +310,35 @@ def test_tracking_with_saturation_feedback_recovers_pose():
         jnp.linalg.norm(lie.so3_log(res.R @ R0.T))
     )
     assert err1 < 0.5 * err0, f"pose error {err0} -> {err1}"
+
+
+def test_tracking_pyramid_recovers_pose():
+    """Coarse-to-fine tracking (track_camera_pyramid): the half-res stage +
+    short full-res polish must recover a perturbed pose as well as the
+    single-stage tracker."""
+    from lvdgs_tpu.slam.tracking import track_camera_pyramid
+
+    params, active = gt_scene()
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
+    gt_out = render_gt(params, active, R0, t0)
+
+    cam = Camera.create(5, gt_out.image, INTR)
+    tau_pert = jnp.array([0.02, -0.015, 0.03, 0.008, -0.006, 0.01])
+    Rp, tp = lie.apply_delta(R0, t0, tau_pert)
+    cam = cam.update_RT(Rp, tp)
+
+    tcfg = TrackingConfig(max_iters=60, pyramid=True, coarse_iters=40)
+    res = track_camera_pyramid(params, active, cam, INTR, CFG, tcfg)
+
+    err0 = float(jnp.linalg.norm(tp - t0)) + float(
+        jnp.linalg.norm(lie.so3_log(Rp @ R0.T))
+    )
+    err1 = float(jnp.linalg.norm(res.T - t0)) + float(
+        jnp.linalg.norm(lie.so3_log(res.R @ R0.T))
+    )
+    assert err1 < 0.35 * err0, f"pose error {err0} -> {err1}"
+    assert int(res.iterations) > 3
+    assert float(res.median_depth) > 0
+    # full-res bookkeeping shapes
+    assert res.image.shape == (3, INTR.height, INTR.width)
+    assert int((np.asarray(res.n_touched) > 0).sum()) > 0
