@@ -217,14 +217,26 @@ def main():
             log(f"cache load failed ({e}); rebuilding")
             slam = None
     if slam is None or slam.frames_processed != WARM_FRAMES:
+        # (re)build, continuing from a same-key partial state if one was
+        # checkpointed before a tunnel outage killed a previous build
+        start = slam.frames_processed if slam is not None else 0
+        if slam is None:
+            slam = make_slam(config)
+            start = 0
         log(
-            f"building warm state: {WARM_FRAMES} frames through "
+            f"building warm state: frames {start}..{WARM_FRAMES} through "
             "initialization (one-off; cached for future runs)"
         )
-        slam = make_slam(config)
         t0 = time.perf_counter()
-        for idx in range(WARM_FRAMES):
+        for idx in range(start, WARM_FRAMES):
             slam.process_frame(idx)
+            # periodic checkpoint: the axon tunnel can drop mid-build
+            # (remote_compile connection refused); a retry then resumes
+            # here instead of paying the whole build again
+            if (idx + 1) % 11 == 0 and idx + 1 < WARM_FRAMES:
+                slam.save_state(ck_path)
+                with open(meta_path, "w") as f:
+                    json.dump({"key": key, "frames": idx + 1}, f)
         log(f"warm build: {time.perf_counter() - t0:.1f}s; "
             f"initialized={slam.initialized}")
         slam.save_state(ck_path)
@@ -268,5 +280,26 @@ def main():
     )
 
 
+def _retries_so_far() -> int:
+    for a in sys.argv:
+        if a.startswith("--retry="):
+            return int(a.split("=", 1)[1])
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # the axon tunnel can drop transiently (remote_compile connection
+        # refused / client unavailable). The in-process JAX client is
+        # poisoned after that, so re-exec a fresh process; the warm-state
+        # checkpoints + persistent compile cache make the retry cheap.
+        n = _retries_so_far()
+        if n >= 3:
+            raise
+        print(f"[bench] run failed ({type(e).__name__}: {e}); "
+              f"retry {n + 1}/3 in 90s", flush=True)
+        time.sleep(90)
+        argv = [a for a in sys.argv if not a.startswith("--retry=")]
+        os.execv(sys.executable, [sys.executable] + argv + [f"--retry={n + 1}"])
