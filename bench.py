@@ -167,6 +167,7 @@ def state_key(config) -> str:
                 "max_per_tile": perf.get("max_per_tile"),
                 "rebin_every": perf.get("rebin_every"),
                 "bin_margin": perf.get("bin_margin"),
+                "blend_bf16": perf.get("blend_bf16"),
             },
         },
         sort_keys=True,
@@ -299,7 +300,7 @@ if __name__ == "__main__":
         if n >= 3:
             raise
         print(f"[bench] run failed ({type(e).__name__}: {e}); "
-              f"retry {n + 1}/3 in 90s", flush=True)
+              f"retry {n + 1}/3 in 90s", file=sys.stderr, flush=True)
         time.sleep(90)
         argv = [a for a in sys.argv if not a.startswith("--retry=")]
         os.execv(sys.executable, [sys.executable] + argv + [f"--retry={n + 1}"])

@@ -476,10 +476,11 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
 
 def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int,
                             bf16: bool = False):
-    """`bf16=True` recomputes the per-slot weights in bfloat16 (mirrors
-    the forward's bf16 math so replayed alpha matches the forward pass) and
-    evaluates the parameter-gradient products in bf16 with f32 reduction
-    accumulators; the transmittance/prefix chain and galpha stay f32."""
+    """`bf16=True` recomputes the per-slot weights in bfloat16 — mirroring
+    the forward's bf16 math so the replayed alpha matches the forward pass
+    bit-for-bit — then upcasts for the rest: the transmittance/prefix
+    chain, galpha, and all parameter-gradient products run in f32 (the
+    bf16 saving here is the weight replay, about half the kernel's ops)."""
     P = ts * ts
 
     def kernel(cg_ref, k0_ref, goff_ref, tid_ref, tp_ref, acc_ref, trans_ref,

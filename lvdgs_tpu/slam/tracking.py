@@ -276,20 +276,24 @@ def track_camera(
             # accumulates in tau_acc and restarts at zero here
             tpj, _ = pose_lin_gather(params, active, s.R, s.T, intr, rcfg, bins)
             s = s._replace(tau_acc=jnp.zeros(6))
-            s2 = jax.lax.while_loop(
-                inner_cond, lambda st: body_with_tpj(st, tpj, bins), s
-            )
+            body = lambda st: body_with_tpj(st, tpj, bins)  # noqa: E731
         else:
-            s2 = jax.lax.while_loop(
-                inner_cond, lambda st: body_with_bins(st, bins), s
-            )
+            body = lambda st: body_with_bins(st, bins)  # noqa: E731
+        # peel the period's first iteration: its loss is the plateau baseline
+        # for the FIRST period (which has no previous-period loss), making
+        # plateau_min_iters < 2*rebin_every reachable — the pyramid fine
+        # stage relies on a first-period exit
+        s1 = body(s)
+        s2 = jax.lax.while_loop(inner_cond, body, s1)
         if tcfg.plateau_tol > 0:
             # loss-plateau exit at period granularity (see TrackingConfig):
-            # s.loss is the previous period's final loss (0 before the first)
+            # baseline = previous period's final loss, or this period's
+            # first-iteration loss on the first period
+            base = jnp.where(s.loss > 0, s.loss, s1.loss)
             plateau = (
-                (s.loss > 0)
+                (base > 0)
                 & (s2.it >= tcfg.plateau_min_iters)
-                & (s.loss - s2.loss < tcfg.plateau_tol * s.loss)
+                & (base - s2.loss < tcfg.plateau_tol * base)
             )
             s2 = s2._replace(done=s2.done | plateau)
         return s2
@@ -369,9 +373,12 @@ def half_res_intrinsics(intr: Intrinsics) -> Intrinsics:
         cy=(intr.cy - 0.5) / 2.0,
         width=intr.width // 2,
         height=intr.height // 2,
+        znear=intr.znear,
+        zfar=intr.zfar,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "rcfg", "tcfg"))
 def track_camera_pyramid(
     params,
     active,
@@ -636,16 +643,20 @@ def track_camera_sharded(
                     st.it < s.it + tcfg.rebin_every
                 )
 
+            # first iteration peeled: its loss is the first period's plateau
+            # baseline (mirrors track_camera)
+            s1 = body_with_bins(s, pbins)
             s2 = jax.lax.while_loop(
-                inner_cond, lambda st: body_with_bins(st, pbins), s
+                inner_cond, lambda st: body_with_bins(st, pbins), s1
             )
             if tcfg.plateau_tol > 0:
-                # same loss-plateau period exit as track_camera; s.loss is
+                # same loss-plateau period exit as track_camera; losses are
                 # psum'd so the decision is identical on every device
+                base = jnp.where(s.loss > 0, s.loss, s1.loss)
                 plateau = (
-                    (s.loss > 0)
+                    (base > 0)
                     & (s2.it >= tcfg.plateau_min_iters)
-                    & (s.loss - s2.loss < tcfg.plateau_tol * s.loss)
+                    & (base - s2.loss < tcfg.plateau_tol * base)
                 )
                 s2 = s2._replace(done=s2.done | plateau)
             return s2
