@@ -27,7 +27,7 @@ import numpy as np
 from ..core.camera import Camera, Intrinsics
 from ..core.config import DotDict
 from ..core.log import Log, PhaseTimer
-from ..core.losses import compute_grad_mask
+from ..core.losses import compute_grad_mask_jit
 from ..data.datasets import load_dataset
 from ..eval.ate import eval_ate
 from ..eval.rendering import eval_rendering
@@ -401,7 +401,7 @@ class SLAM:
         )
         cam = cam.replace(
             mono_depth=self._mono_depth_for(idx, image, depth, mono),
-            grad_mask=compute_grad_mask(
+            grad_mask=compute_grad_mask_jit(
                 cam.image,
                 self.config["Training"].get("edge_threshold", 1.1),
                 self.config["Dataset"].get("type", "KITTI"),
