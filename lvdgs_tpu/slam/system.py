@@ -276,6 +276,8 @@ class SLAM:
         # mutable state
         self.last_sent = 0  # idle-mapping counter (threaded-mode parity)
         self.idle_debt = 0  # accrued idle iterations, flushed in bursts
+        self._last_curr_vis = None  # set by _track each frame
+        self._last_track_stats = None
         self.frames: Dict[int, dict] = {}
         self.kf_indices: List[int] = []
         self.kf_slots: Dict[int, int] = {}
@@ -714,12 +716,46 @@ class SLAM:
             exposure_a=res.exposure_a, exposure_b=res.exposure_b
         )
         self._cams[idx] = cam
-        self._record_frame(idx, cam)
-        self.median_depth = float(res.median_depth)
+        # ONE host round-trip for everything the frame loop needs from this
+        # frame: pose record, median depth, and the keyframe policy's
+        # visibility-pair stats (previously 3 separate ~27 ms relay fetches)
+        curr_vis = res.n_touched > 0
+        last_kf = self.current_window[0] if self.current_window else None
+        if last_kf is not None and last_kf in self.occ_visibility:
+            stats_dev = visibility_pair_stats(
+                curr_vis, self.occ_visibility[last_kf]
+            ).astype(jnp.float32)
+        else:
+            stats_dev = jnp.zeros((4,), jnp.float32)
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    cam.R.reshape(-1), cam.T, cam.R_gt.reshape(-1), cam.T_gt,
+                    jnp.stack([cam.exposure_a, cam.exposure_b]),
+                    res.median_depth[None], stats_dev,
+                ]
+            )
+        )
+        self.frames[idx] = {
+            "R": packed[0:9].reshape(3, 3),
+            "T": packed[9:12],
+            "R_gt": packed[12:21].reshape(3, 3),
+            "T_gt": packed[21:24],
+            "exposure_a": float(packed[24]),
+            "exposure_b": float(packed[25]),
+            "static_mask": np.asarray(cam.static_mask)
+            if self.masker is not None and bool(cam.has_static_mask)
+            else None,
+        }
+        self.median_depth = float(packed[26])
+        self._last_track_stats = packed[27:31].astype(np.int64)
+        self._last_curr_vis = curr_vis
         return cam, res
 
-    def _make_keyframe(self, idx: int, cam: Camera, track_res) -> None:
-        curr_vis = track_res.n_touched > 0
+    def _make_keyframe(self, idx: int, cam: Camera, track_res,
+                       curr_vis=None) -> None:
+        if curr_vis is None:  # reuse process_frame's dispatch when available
+            curr_vis = track_res.n_touched > 0
         if self.current_window:
             occ_stack = jnp.stack(
                 [self.occ_visibility[k] for k in self.current_window]
@@ -784,18 +820,14 @@ class SLAM:
 
         last_kf_idx = self.current_window[0]
         check_time = (idx - last_kf_idx) >= self.kf_interval
-        curr_vis = res.n_touched > 0
+        curr_vis = self._last_curr_vis  # computed + fetched inside _track
 
         static_ratio = (
             float(cam.static_mask.mean())
             if self.masker is not None and bool(cam.has_static_mask)
             else None
         )
-        # one host fetch for all visibility counts (each separate
-        # int(count_nonzero) costs a ~27 ms relay round trip)
-        stats = np.asarray(
-            visibility_pair_stats(curr_vis, self.occ_visibility[last_kf_idx])
-        )
+        stats = self._last_track_stats
         create_kf = is_keyframe(
             curr_R=self.frames[idx]["R"],
             curr_T=self.frames[idx]["T"],
@@ -819,7 +851,7 @@ class SLAM:
 
         if create_kf:
             self.timer.tic("mapping")
-            self._make_keyframe(idx, cam, res)
+            self._make_keyframe(idx, cam, res, curr_vis=curr_vis)
             self.timer.toc("mapping")
             self.last_sent = 0
         elif not self.single_thread and self.current_window:
