@@ -278,6 +278,7 @@ class SLAM:
         self.idle_debt = 0  # accrued idle iterations, flushed in bursts
         self._last_curr_vis = None  # set by _track each frame
         self._last_track_stats = None
+        self._cached_num_active = None  # refreshed by _sync_backend
         self.frames: Dict[int, dict] = {}
         self.kf_indices: List[int] = []
         self.kf_slots: Dict[int, int] = {}
@@ -457,7 +458,9 @@ class SLAM:
         rgb_thr = self.config["Training"].get("rgb_boundary_threshold", 0.01)
         valid_rgb = cam.image.sum(axis=0) > rgb_thr
 
-        if bool(cam.has_static_mask):
+        # masker-first guard: bool() of a device scalar is a ~27 ms relay
+        # sync, pointless when no masker is configured
+        if self.masker is not None and bool(cam.has_static_mask):
             kernel = 9 if idx == 0 else 7
             expanded_dynamic = _dilate_mask(~cam.static_mask, kernel)
             valid_rgb = valid_rgb & ~expanded_dynamic
@@ -521,7 +524,7 @@ class SLAM:
         if len(self.kf_indices) - getattr(self, "_last_resize_kf", -10) < 5:
             return
         cap = self.gmap.capacity
-        n = int(self.gmap.num_active)
+        n = self._num_active_cached()
         min_cap = min(2**14, self.max_capacity)
         target = cap
         while target > min_cap and n <= 0.2 * (target // 2):
@@ -537,13 +540,23 @@ class SLAM:
             k: v[take] for k, v in self.occ_visibility.items()
         }
 
+    def _num_active_cached(self) -> int:
+        """num_active as of the last _sync_backend. Valid at the next
+        keyframe's _ensure_capacity (only tracking runs in between, which
+        never changes actives) and in _maybe_shrink when called right after
+        the sync (compaction keeps every active). Falls back to a device
+        fetch when no sync has happened yet."""
+        if self._cached_num_active is None:
+            return int(self.gmap.num_active)
+        return self._cached_num_active
+
     def _ensure_capacity(self, downsample: int) -> None:
         """Grow the map (powers of two, up to map_capacity) when the next
         seeding could approach saturation — keeps densification headroom
         while all capacity-proportional work tracks the live map size."""
         stride = max(1, int(round(np.sqrt(max(1, downsample)))))
         cand = -(-self.intr.height // stride) * (-(-self.intr.width // stride))
-        need = int(self.gmap.num_active) + cand
+        need = self._num_active_cached() + cand
         cap = self.gmap.capacity
         target = cap
         while need > 0.7 * target and target < self.max_capacity:
@@ -577,6 +590,7 @@ class SLAM:
         cam = self._cams[idx]
         self.timer.tic("kf_seed")
         self._ensure_capacity(self.pcd_downsample)
+        self._cached_num_active = None  # seeding/mapping/prune change actives
         self.gmap, self.opt_state = gm.seed_step(
             self.gmap,
             cam,
@@ -617,8 +631,8 @@ class SLAM:
         self.initialized = bool(initialized)
         for i, kf_idx in enumerate(self.current_window):
             self.occ_visibility[kf_idx] = occ[i]
+        self._sync_backend()  # also refreshes the cached active count
         self._maybe_shrink()
-        self._sync_backend()
         self.timer.toc("kf_prune")
 
     def _prune(self, window_slots, mapping_res):
@@ -661,10 +675,18 @@ class SLAM:
                     self.kfbuf.R.reshape(M, 9),
                     self.kfbuf.T,
                     self.kfbuf.exposure_ab,
+                    # piggyback the live active count on the same fetch:
+                    # _ensure_capacity / _maybe_shrink read it each keyframe
+                    # and a separate int() costs its own ~27 ms round trip
+                    jnp.broadcast_to(
+                        self.gmap.num_active.astype(jnp.float32)[None, None],
+                        (M, 1),
+                    ),
                 ],
                 axis=1,
             )
         )
+        self._cached_num_active = int(packed[0, 14])
         R = packed[:, 0:9].reshape(M, 3, 3)
         T = packed[:, 9:12]
         ab = packed[:, 12:14]
@@ -979,6 +1001,7 @@ class SLAM:
         # old checkpoints predate these counters; default to a fresh cadence
         self.idle_debt = int(st.get("idle_debt", 0))
         self.last_sent = int(st.get("last_sent", 0))
+        self._cached_num_active = None  # restored map invalidates the cache
 
     def global_ba(self, iters: Optional[int] = None) -> None:
         """Photometric global bundle adjustment over all keyframes (the
