@@ -242,3 +242,80 @@ def test_waymo_format_e2e_smoke(tmp_path):
     # tracked trajectory should land near ground truth (file-format
     # quantisation of rgb/depth adds noise; loose gate)
     assert float(np.abs(est - gt).max()) < 0.5, (est, gt)
+
+
+@pytest.mark.slow
+def test_kitti_format_e2e_smoke(tmp_path):
+    """KITTI-format end-to-end smoke (VERDICT r1 item 6): dump the synthetic
+    scene to the KITTI layout (image_2/*.png + gt/*.txt 3x4 c2w rows) and
+    run the full SLAM loop through MonocularDataset. Like the reference, the
+    KITTI parser aliases depth paths to the color images (reference
+    utils/dataset.py:74-76 — dataset depth is a placeholder; the real mono
+    depth comes from MASt3R at runtime), so the test supplies a depth_prior
+    standing in for MASt3R's get_depth, exactly the reference's runtime
+    shape."""
+    import jax.numpy as jnp
+
+    from lvdgs_tpu.core.config import load_config
+    from lvdgs_tpu.slam.system import SLAM
+
+    base = load_config("configs/mono/synthetic/base_config.yaml")
+    base["Dataset"]["n_frames"] = 8
+    base["Dataset"]["Calibration"].update(
+        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0}
+    )
+    syn = load_dataset(None, "", base)
+    os.makedirs(tmp_path / "image_2")
+    os.makedirs(tmp_path / "gt")
+    depths = []
+    for i in range(8):
+        img, depth, pose, _ = syn[i]
+        rgb8 = (np.asarray(img).transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(rgb8).save(tmp_path / "image_2" / f"{i:06d}.png")
+        depths.append(np.asarray(depth, np.float32))
+        # KITTI gt rows are 3x4 row-major c2w; the parser origin-normalises
+        # to the first frame and inverts to w2c
+        c2w = np.linalg.inv(np.asarray(pose, np.float64))
+        np.savetxt(tmp_path / "gt" / f"{i:06d}.txt", c2w[:3, :].reshape(-1)[None])
+
+    config = load_config("configs/mono/synthetic/base_config.yaml")
+    config["Dataset"] = {
+        "type": "KITTI", "dataset_path": str(tmp_path), "begin": 0, "end": None,
+        "pcd_downsample": 32, "pcd_downsample_init": 16, "point_size": 0.01,
+        "adaptive_pointsize": True,
+        "Calibration": _calib(w=64, h=48, depth_scale=1.0),
+    }
+    config["Dataset"]["Calibration"].update({"fx": 80.0, "fy": 80.0})
+    config["Training"].update(
+        {"init_itr_num": 150, "mapping_itr_num": 20, "tracking_itr_num": 20,
+         "kf_interval": 2, "single_thread": True}
+    )
+    config["Results"].update(
+        {"save_results": False, "eval_rendering": False, "color_refinement": False}
+    )
+    config["Performance"] = {
+        "tile_size": 16, "max_per_tile": 64, "gaussian_chunk": 32,
+        "tile_chunk": 64, "map_capacity": 8192, "kf_capacity": 16,
+    }
+
+    calls = {"n": 0}
+
+    def depth_prior(image):
+        d = depths[min(calls["n"], len(depths) - 1)]
+        calls["n"] += 1
+        return jnp.asarray(d)
+
+    slam = SLAM(config, save_dir=None, depth_prior=depth_prior)
+    assert isinstance(slam.dataset, MonocularDataset)
+    # synthetic poses are already first-frame-origin, so the parser's
+    # normalisation is the identity here; check w2c inversion took effect
+    p0 = slam.dataset[0][2]
+    np.testing.assert_allclose(np.asarray(p0), np.eye(4), atol=1e-5)
+    for i in range(8):
+        slam.process_frame(i)
+    assert calls["n"] >= 8
+    assert len(slam.kf_indices) >= 2
+    est = np.array([slam.frames[k]["T"] for k in slam.kf_indices])
+    gt = np.array([slam.frames[k]["T_gt"] for k in slam.kf_indices])
+    assert np.isfinite(est).all()
+    assert float(np.abs(est - gt).max()) < 0.5, (est, gt)
