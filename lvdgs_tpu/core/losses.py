@@ -113,14 +113,6 @@ def compute_grad_mask(
     return mag > med * edge_threshold
 
 
-# one dispatch for the whole Scharr/median chain — eager, its ~10 ops cost
-# ~30 ms each through the remote-device relay, making per-frame camera
-# construction a visible frame-loop phase (PERFORMANCE.md)
-compute_grad_mask_jit = jax.jit(
-    compute_grad_mask, static_argnames=("edge_threshold", "dataset_type")
-)
-
-
 # ----------------------------------------------------------------------------
 # masked means (static-shape substitutes for boolean indexing)
 

@@ -27,7 +27,7 @@ import numpy as np
 from ..core.camera import Camera, Intrinsics
 from ..core.config import DotDict
 from ..core.log import Log, PhaseTimer
-from ..core.losses import compute_grad_mask_jit
+from ..core.losses import compute_grad_mask
 from ..data.datasets import load_dataset
 from ..eval.ate import eval_ate
 from ..eval.rendering import eval_rendering
@@ -64,6 +64,27 @@ def _dilate_mask(mask: jax.Array, kernel: int) -> jax.Array:
         )
         > 0.5
     )
+
+
+@jax.jit
+def _pack_track_record(R, T, R_gt, T_gt, ea, eb, median_depth, n_touched,
+                       last_vis):
+    """Everything the frame loop needs from a tracked frame, packed into ONE
+    device program + ONE fetched vector: pose record (offsets 0:26, layout
+    shared with SLAM._store_frame_record), median depth (26), and the
+    keyframe policy's visibility-pair stats (27:31; counts are exact in f32
+    below 2^24). Eagerly, each of these ~6 ops and 3 fetches is its own
+    ~27 ms relay round trip."""
+    curr_vis = n_touched > 0
+    stats = visibility_pair_stats(curr_vis, last_vis)
+    packed = jnp.concatenate(
+        [
+            R.reshape(-1), T, R_gt.reshape(-1), T_gt,
+            jnp.stack([ea, eb]), median_depth[None],
+            stats.astype(jnp.float32),
+        ]
+    )
+    return packed, curr_vis
 
 
 class SLAM:
@@ -135,6 +156,8 @@ class SLAM:
         # map_capacity as it fills (gm.grow_capacity) — every
         # capacity-proportional cost then tracks the live map size
         self.max_capacity = perf.get("map_capacity", 2**17)
+        # the active count piggybacks on f32 fetch columns (exact to 2^24)
+        assert self.max_capacity <= 2**24, "map_capacity above 2^24 unsupported"
         capacity = min(perf.get("map_capacity_init", 2**14), self.max_capacity)
         kf_capacity = perf.get("kf_capacity", 512)
 
@@ -356,17 +379,10 @@ class SLAM:
                     self._grow_to(self.gmap.capacity * 2)
         return res
 
-    def _record_frame(self, idx: int, cam: Camera) -> None:
-        # ONE host round-trip per frame (each np.asarray of a device array
-        # costs a full ~27 ms relay round trip; six of them did not)
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    cam.R.reshape(-1), cam.T, cam.R_gt.reshape(-1), cam.T_gt,
-                    jnp.stack([cam.exposure_a, cam.exposure_b]),
-                ]
-            )
-        )
+    def _store_frame_record(self, idx: int, packed: np.ndarray, cam: Camera
+                            ) -> None:
+        """Unpack the shared 26-float pose-record layout (see
+        _pack_track_record) into the host frame dict."""
         self.frames[idx] = {
             "R": packed[0:9].reshape(3, 3),
             "T": packed[9:12],
@@ -378,6 +394,19 @@ class SLAM:
             if self.masker is not None and bool(cam.has_static_mask)
             else None,
         }
+
+    def _record_frame(self, idx: int, cam: Camera) -> None:
+        # ONE host round-trip per frame (each np.asarray of a device array
+        # costs a full ~27 ms relay round trip; six of them did not)
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    cam.R.reshape(-1), cam.T, cam.R_gt.reshape(-1), cam.T_gt,
+                    jnp.stack([cam.exposure_a, cam.exposure_b]),
+                ]
+            )
+        )
+        self._store_frame_record(idx, packed, cam)
 
     def _mono_depth_for(self, idx: int, image, dataset_depth, dataset_mono):
         """The reference gets mono depth from MASt3R every frame
@@ -404,7 +433,7 @@ class SLAM:
         )
         cam = cam.replace(
             mono_depth=self._mono_depth_for(idx, image, depth, mono),
-            grad_mask=compute_grad_mask_jit(
+            grad_mask=compute_grad_mask(
                 cam.image,
                 self.config["Training"].get("edge_threshold", 1.1),
                 self.config["Dataset"].get("type", "KITTI"),
@@ -738,46 +767,31 @@ class SLAM:
             exposure_a=res.exposure_a, exposure_b=res.exposure_b
         )
         self._cams[idx] = cam
-        # ONE host round-trip for everything the frame loop needs from this
-        # frame: pose record, median depth, and the keyframe policy's
-        # visibility-pair stats (previously 3 separate ~27 ms relay fetches)
-        curr_vis = res.n_touched > 0
+        # ONE device program + ONE host fetch for everything the frame loop
+        # needs from this frame (pose record, median depth, policy stats —
+        # previously 3 separate fetches plus ~6 eager op dispatches)
         last_kf = self.current_window[0] if self.current_window else None
-        if last_kf is not None and last_kf in self.occ_visibility:
-            stats_dev = visibility_pair_stats(
-                curr_vis, self.occ_visibility[last_kf]
-            ).astype(jnp.float32)
-        else:
-            stats_dev = jnp.zeros((4,), jnp.float32)
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    cam.R.reshape(-1), cam.T, cam.R_gt.reshape(-1), cam.T_gt,
-                    jnp.stack([cam.exposure_a, cam.exposure_b]),
-                    res.median_depth[None], stats_dev,
-                ]
-            )
+        last_vis = (
+            self.occ_visibility[last_kf]
+            if last_kf is not None and last_kf in self.occ_visibility
+            else jnp.zeros_like(self.gmap.active)
         )
-        self.frames[idx] = {
-            "R": packed[0:9].reshape(3, 3),
-            "T": packed[9:12],
-            "R_gt": packed[12:21].reshape(3, 3),
-            "T_gt": packed[21:24],
-            "exposure_a": float(packed[24]),
-            "exposure_b": float(packed[25]),
-            "static_mask": np.asarray(cam.static_mask)
-            if self.masker is not None and bool(cam.has_static_mask)
-            else None,
-        }
+        packed_dev, curr_vis = _pack_track_record(
+            cam.R, cam.T, cam.R_gt, cam.T_gt, cam.exposure_a, cam.exposure_b,
+            res.median_depth, res.n_touched, last_vis,
+        )
+        packed = np.asarray(packed_dev)
+        self._store_frame_record(idx, packed, cam)
         self.median_depth = float(packed[26])
         self._last_track_stats = packed[27:31].astype(np.int64)
         self._last_curr_vis = curr_vis
         return cam, res
 
     def _make_keyframe(self, idx: int, cam: Camera, track_res,
-                       curr_vis=None) -> None:
-        if curr_vis is None:  # reuse process_frame's dispatch when available
-            curr_vis = track_res.n_touched > 0
+                       curr_vis) -> None:
+        # curr_vis comes from _track's fused fetch (the EXACT final render's
+        # n_touched — recomputing it here from a budgeted render would skew
+        # window-eviction overlaps)
         if self.current_window:
             occ_stack = jnp.stack(
                 [self.occ_visibility[k] for k in self.current_window]

@@ -193,7 +193,11 @@ def test_waymo_format_e2e_smoke(tmp_path):
     base = load_config("configs/mono/synthetic/base_config.yaml")
     base["Dataset"]["n_frames"] = 8
     base["Dataset"]["Calibration"].update(
-        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0}
+        # fx/fy must match the SLAM config below: the synthetic base ships
+        # fx=120, and generating images at one focal while running SLAM at
+        # another silently biases the trajectory gate (review r2)
+        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0,
+         "fx": 80.0, "fy": 80.0}
     )
     syn = load_dataset(None, "", base)
     for d in ("rgb", "depth", "mono_depth", "gt"):
@@ -262,7 +266,11 @@ def test_kitti_format_e2e_smoke(tmp_path):
     base = load_config("configs/mono/synthetic/base_config.yaml")
     base["Dataset"]["n_frames"] = 8
     base["Dataset"]["Calibration"].update(
-        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0}
+        # fx/fy must match the SLAM config below: the synthetic base ships
+        # fx=120, and generating images at one focal while running SLAM at
+        # another silently biases the trajectory gate (review r2)
+        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0,
+         "fx": 80.0, "fy": 80.0}
     )
     syn = load_dataset(None, "", base)
     os.makedirs(tmp_path / "image_2")
