@@ -327,3 +327,73 @@ def test_kitti_format_e2e_smoke(tmp_path):
     gt = np.array([slam.frames[k]["T_gt"] for k in slam.kf_indices])
     assert np.isfinite(est).all()
     assert float(np.abs(est - gt).max()) < 0.5, (est, gt)
+
+
+@pytest.mark.slow
+def test_tum_format_e2e_smoke(tmp_path):
+    """TUM-format end-to-end smoke: rgb/depth pngs + rgb.txt/depth.txt/
+    groundtruth.txt timestamp association, quaternion c2w poses -> full SLAM
+    loop through MonocularDataset (completes the KITTI/Waymo/TUM trio)."""
+    from scipy.spatial.transform import Rotation
+
+    from lvdgs_tpu.core.config import load_config
+    from lvdgs_tpu.slam.system import SLAM
+
+    base = load_config("configs/mono/synthetic/base_config.yaml")
+    base["Dataset"]["n_frames"] = 8
+    base["Dataset"]["Calibration"].update(
+        {"width": 64, "height": 48, "cx": 32.0, "cy": 24.0,
+         "fx": 80.0, "fy": 80.0}
+    )
+    syn = load_dataset(None, "", base)
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "depth")
+    scale = 5000.0  # TUM convention
+    lines_rgb, lines_depth, lines_gt = ["# ts path"], ["# ts path"], ["# gt"]
+    for i in range(8):
+        img, depth, pose, _ = syn[i]
+        ts = 100.0 + i
+        rgb8 = (np.asarray(img).transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(rgb8).save(tmp_path / "rgb" / f"{ts:.1f}.png")
+        d32 = (np.asarray(depth) * scale).astype(np.int32)
+        Image.fromarray(d32, mode="I").save(tmp_path / "depth" / f"{ts:.1f}.png")
+        lines_rgb.append(f"{ts} rgb/{ts:.1f}.png")
+        lines_depth.append(f"{ts} depth/{ts:.1f}.png")
+        c2w = np.linalg.inv(np.asarray(pose, np.float64))
+        q = Rotation.from_matrix(c2w[:3, :3]).as_quat()  # xyzw
+        t = c2w[:3, 3]
+        lines_gt.append(
+            f"{ts} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}"
+        )
+    (tmp_path / "rgb.txt").write_text("\n".join(lines_rgb) + "\n")
+    (tmp_path / "depth.txt").write_text("\n".join(lines_depth) + "\n")
+    (tmp_path / "groundtruth.txt").write_text("\n".join(lines_gt) + "\n")
+
+    config = load_config("configs/mono/synthetic/base_config.yaml")
+    config["Dataset"] = {
+        "type": "tum", "dataset_path": str(tmp_path), "begin": 0, "end": None,
+        "pcd_downsample": 32, "pcd_downsample_init": 16, "point_size": 0.01,
+        "adaptive_pointsize": True,
+        "Calibration": _calib(w=64, h=48, depth_scale=scale),
+    }
+    config["Dataset"]["Calibration"].update({"fx": 80.0, "fy": 80.0})
+    config["Training"].update(
+        {"init_itr_num": 150, "mapping_itr_num": 20, "tracking_itr_num": 20,
+         "kf_interval": 2, "single_thread": True}
+    )
+    config["Results"].update(
+        {"save_results": False, "eval_rendering": False, "color_refinement": False}
+    )
+    config["Performance"] = {
+        "tile_size": 16, "max_per_tile": 64, "gaussian_chunk": 32,
+        "tile_chunk": 64, "map_capacity": 8192, "kf_capacity": 16,
+    }
+    slam = SLAM(config, save_dir=None)
+    assert isinstance(slam.dataset, MonocularDataset)
+    for i in range(8):
+        slam.process_frame(i)
+    assert len(slam.kf_indices) >= 2
+    est = np.array([slam.frames[k]["T"] for k in slam.kf_indices])
+    gt = np.array([slam.frames[k]["T_gt"] for k in slam.kf_indices])
+    assert np.isfinite(est).all()
+    assert float(np.abs(est - gt).max()) < 0.5, (est, gt)
