@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
+if os.environ.get("JAX_PLATFORMS"):
+    # some site customizations (the axon TPU relay) force their platform and
+    # override the env var; honor an explicit JAX_PLATFORMS request so
+    # `JAX_PLATFORMS=cpu python slam.py ...` really runs on CPU
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     parser = argparse.ArgumentParser(description="LVD-GS-TPU SLAM")
