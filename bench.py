@@ -36,6 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize forces its platform over the env var; honor an
+    # explicit JAX_PLATFORMS request (same fix as slam.py)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # bump when SLAM state semantics change enough to invalidate cached states
 # (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1;
 #  v4: saturation-feedback packing at budget 128 + pose-linearized tracking;
