@@ -194,10 +194,23 @@ def make_slam(config):
 
 
 def main():
+    import signal
+
     import jax
 
     config = build_config()
-    dev = jax.devices()[0]
+    # device init through a dead tunnel HANGS rather than erroring; bound it
+    # so the retry/exit path runs instead of wedging the harness
+    def _init_timeout(signum, frame):
+        raise RuntimeError("device init timed out (tunnel down?)")
+
+    old = signal.signal(signal.SIGALRM, _init_timeout)
+    signal.alarm(600)
+    try:
+        dev = jax.devices()[0]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
     log(f"bench device: {dev} ({dev.platform})")
 
     state_dir = os.path.join(
