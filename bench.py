@@ -47,11 +47,20 @@ if os.environ.get("JAX_PLATFORMS"):
 # (v3: exact dense n_touched bookkeeping after tracking, ADVICE r1;
 #  v4: saturation-feedback packing at budget 128 + pose-linearized tracking;
 #  v5: feedback restricted to tracking — capped mapping visibility made
-#  covisibility pruning ~2x more aggressive and stormed the keyframe policy)
-BENCH_STATE_VERSION = 5
-WARM_FRAMES = 44  # frames 0..43 build the initialized steady state
+#  covisibility pruning ~2x more aggressive and stormed the keyframe policy;
+#  v6: ADVICE r2 — densify-propagated probe visibility, drift-triggered
+#  tracking cap re-probe, ceil'd probe weight quantization)
+BENCH_STATE_VERSION = 6
+WARM_FRAMES = 44  # minimum warm frames before the initialization check
+# the warm build continues past WARM_FRAMES until the SLAM system reports
+# initialized (window full + first prune) so the timed region never eats
+# the 300-iteration initial-BA keyframe — at reference-parity seeding
+# density the window fills a few frames later than the old fixed 44
+# (r03 first run: initialized=False at 44 -> initial BA landed in the
+# timed region and halved the metric)
+WARM_MAX = 84
 TIMED_FRAMES = 12  # frames timed after one untimed resume frame
-TOTAL_FRAMES = WARM_FRAMES + 1 + TIMED_FRAMES
+TOTAL_FRAMES = WARM_MAX + 1 + TIMED_FRAMES
 
 
 def log(*a):
@@ -154,11 +163,18 @@ def state_key(config) -> str:
     the trajectory-defining dataset/training settings — all force a rebuild
     (ADVICE r1)."""
     perf = config["Performance"]
+    # n_frames only caps the synthetic sequence length — per-frame content
+    # is a pure function of the frame index (data/datasets.py:327-344) — so
+    # it must not invalidate the warm cache when the timed-region sizing
+    # changes
+    dataset_key = {
+        k: v for k, v in config["Dataset"].items() if k != "n_frames"
+    }
     payload = json.dumps(
         {
             "v": BENCH_STATE_VERSION,
             "warm": WARM_FRAMES,
-            "dataset": config["Dataset"],
+            "dataset": dataset_key,
             "training": config["Training"],
             "shapes": {
                 "map_capacity": perf.get("map_capacity"),
@@ -205,7 +221,9 @@ def main():
         raise RuntimeError("device init timed out (tunnel down?)")
 
     old = signal.signal(signal.SIGALRM, _init_timeout)
-    signal.alarm(600)
+    # 300s, not 600: with the 3-retry ladder a dead tunnel must still fail
+    # inside the driver's bench budget (r02 died rc=124 waiting out retries)
+    signal.alarm(300)
     try:
         dev = jax.devices()[0]
     finally:
@@ -237,7 +255,10 @@ def main():
         except Exception as e:  # stale/corrupt cache -> rebuild
             log(f"cache load failed ({e}); rebuilding")
             slam = None
-    if slam is None or slam.frames_processed != WARM_FRAMES:
+    needs_build = slam is None or slam.frames_processed < WARM_FRAMES or (
+        not slam.initialized and slam.frames_processed < WARM_MAX
+    )
+    if needs_build:
         # (re)build, continuing from a same-key partial state if one was
         # checkpointed before a tunnel outage killed a previous build
         start = slam.frames_processed if slam is not None else 0
@@ -245,41 +266,52 @@ def main():
             slam = make_slam(config)
             start = 0
         log(
-            f"building warm state: frames {start}..{WARM_FRAMES} through "
+            f"building warm state: frames {start}..>= {WARM_FRAMES} through "
             "initialization (one-off; cached for future runs)"
         )
         t0 = time.perf_counter()
-        for idx in range(start, WARM_FRAMES):
+
+        def _checkpoint(frames):
+            slam.save_state(ck_path)
+            with open(meta_path, "w") as f:
+                json.dump({"key": key, "frames": frames}, f)
+
+        idx = start
+        # phase 1: the fixed minimum; phase 2: continue until the system
+        # reports initialized (window full + first covisibility prune) so
+        # the timed region measures pure steady state
+        while idx < WARM_FRAMES or (not slam.initialized and idx < WARM_MAX):
             slam.process_frame(idx)
+            idx += 1
             # periodic checkpoint: the axon tunnel can drop mid-build
             # (remote_compile connection refused); a retry then resumes
             # here instead of paying the whole build again
-            if (idx + 1) % 11 == 0 and idx + 1 < WARM_FRAMES:
-                slam.save_state(ck_path)
-                with open(meta_path, "w") as f:
-                    json.dump({"key": key, "frames": idx + 1}, f)
-        log(f"warm build: {time.perf_counter() - t0:.1f}s; "
+            if idx % 11 == 0:
+                _checkpoint(idx)
+        log(f"warm build: {time.perf_counter() - t0:.1f}s; frames={idx}; "
             f"initialized={slam.initialized}")
-        slam.save_state(ck_path)
-        with open(meta_path, "w") as f:
-            json.dump({"key": key, "frames": WARM_FRAMES}, f)
+        _checkpoint(idx)
+    if not slam.initialized:
+        log(f"WARNING: not initialized after {slam.frames_processed} warm "
+            "frames — timed region will include pre-init keyframe costs")
 
     # one untimed resume frame re-triggers every compile (cache-warm)
+    warm_end = slam.frames_processed
     t0 = time.perf_counter()
-    slam.process_frame(WARM_FRAMES)
+    slam.process_frame(warm_end)
     log(f"resume frame (incl. compile-cache loads): {time.perf_counter() - t0:.1f}s")
     slam.timer = type(slam.timer)()  # clean per-phase stats for the timed region
 
-    start_idx = WARM_FRAMES + 1
+    start_idx = warm_end + 1
     kf_before = len(slam.kf_indices)
     t0 = time.perf_counter()
-    for idx in range(start_idx, TOTAL_FRAMES):
+    for idx in range(start_idx, start_idx + TIMED_FRAMES):
         slam.process_frame(idx)
     # force completion: fetch a scalar (block_until_ready does not sync
     # through the TPU relay)
     float(slam.gmap.means[0, 0])
     wall = time.perf_counter() - t0
-    frames = TOTAL_FRAMES - start_idx
+    frames = TIMED_FRAMES
     fps = frames / wall
     kfps = (len(slam.kf_indices) - kf_before) / wall
     log(
@@ -308,6 +340,21 @@ def _retries_so_far() -> int:
     return 0
 
 
+# transient tunnel/backend failure signatures; anything else is a genuine
+# bug and must surface immediately with its traceback (ADVICE r2)
+_TRANSIENT_MARKERS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection refused",
+    "Connection reset",
+    "Socket closed",
+    "remote_compile",
+    "device init timed out",
+    "INTERNAL: Failed to",
+)
+
+
 if __name__ == "__main__":
     try:
         main()
@@ -316,11 +363,15 @@ if __name__ == "__main__":
         # refused / client unavailable). The in-process JAX client is
         # poisoned after that, so re-exec a fresh process; the warm-state
         # checkpoints + persistent compile cache make the retry cheap.
+        # Only KNOWN transient failure modes are retried — assertions and
+        # config errors re-raise at once (retrying them burns the harness
+        # time budget and discards the traceback, ADVICE r2).
+        msg = f"{type(e).__name__}: {e}"
         n = _retries_so_far()
-        if n >= 3:
+        if n >= 3 or not any(m in msg for m in _TRANSIENT_MARKERS):
             raise
-        print(f"[bench] run failed ({type(e).__name__}: {e}); "
-              f"retry {n + 1}/3 in 90s", file=sys.stderr, flush=True)
-        time.sleep(90)
+        print(f"[bench] transient backend failure ({msg}); "
+              f"retry {n + 1}/3 in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
         argv = [a for a in sys.argv if not a.startswith("--retry=")]
         os.execv(sys.executable, [sys.executable] + argv + [f"--retry={n + 1}"])

@@ -35,7 +35,15 @@ def _create_consts(H: int, W: int):
 
     JAX arrays are immutable, so sharing is safe; caching avoids paying a
     ~30 ms eager-dispatch round trip per constant per frame on remote
-    (tunnel-attached) devices."""
+    (tunnel-attached) devices.
+
+    INVARIANT (ADVICE r2): these buffers are aliased across every Camera at
+    a given (H, W), so no jitted function may DONATE a Camera pytree (or
+    otherwise invalidate its buffers) — donation would free the shared
+    constants for all past and future cameras at once. Today nothing
+    donates Cameras (seed_step and the tracking/mapping entry points donate
+    only the map/opt-state/kfbuf arguments); if a future jit needs Camera
+    donation, make it deep-copy these fields first or bypass this cache."""
     key = (H, W, jax.default_backend())
     hit = _CONSTS_CACHE.get(key)
     if hit is None:

@@ -392,9 +392,20 @@ def densify_and_prune(
     max_screen_size: float | None,
     percent_dense: float = 0.01,
     opt_state: "AdamState | None" = None,
+    aux_vis: jax.Array | None = None,
 ):
     """Clone + split + prune, 3DGS `densify_and_prune` semantics at static
-    shape (consumed at reference utils/slam_backend.py:132-137, 364-369)."""
+    shape (consumed at reference utils/slam_backend.py:132-137, 364-369).
+
+    `aux_vis` (optional, (..., C) bool) carries per-Gaussian visibility
+    columns through the reshuffle: clone/split children inherit their
+    parent's column and pruned slots are zeroed, so a visibility snapshot
+    taken BEFORE this call stays valid afterwards. Used by the mapping
+    loop's saturation-feedback path, whose full-depth probe visibility is
+    measured once per rebin period — without inheritance, Gaussians
+    split/cloned mid-period would read as unobserved by the covisibility
+    prune and the opacity reset (ADVICE r2). Returned as a third element
+    when provided."""
     grads = jnp.where(gmap.grad_denom > 0, gmap.grad_accum / jnp.maximum(gmap.grad_denom, 1.0), 0.0)
     scaling = gmap.scaling
     max_scale = scaling.max(axis=1)
@@ -418,6 +429,9 @@ def densify_and_prune(
     )
     if opt_state is not None:
         opt_state = zero_adam_slots(opt_state, dest)
+    if aux_vis is not None:
+        # clone children inherit the parent's visibility column
+        aux_vis = aux_vis.at[..., dest].set(aux_vis, mode="drop")
 
     # --- split: two children at 1/1.6 scale, parent pruned. At full
     # capacity a child may fail to allocate; a parent is only pruned when at
@@ -442,8 +456,14 @@ def densify_and_prune(
         )
         if opt_state is not None:
             opt_state = zero_adam_slots(opt_state, dest)
+        if aux_vis is not None:
+            # split children inherit the parent's visibility column
+            aux_vis = aux_vis.at[..., dest].set(aux_vis, mode="drop")
         any_child_ok = any_child_ok | ok
-    gmap = prune_points(gmap, split_mask & any_child_ok)
+    split_parent_prune = split_mask & any_child_ok
+    gmap = prune_points(gmap, split_parent_prune)
+    if aux_vis is not None:
+        aux_vis = aux_vis & ~split_parent_prune
 
     # --- prune by opacity / screen size / world size
     prune_mask = gmap.active & (gmap.opacities < min_opacity)
@@ -452,6 +472,8 @@ def densify_and_prune(
         big_ws = gmap.scaling.max(axis=1) > 0.1 * extent
         prune_mask = prune_mask | (gmap.active & (big_vs | big_ws))
     gmap = prune_points(gmap, prune_mask)
+    if aux_vis is not None:
+        aux_vis = aux_vis & ~prune_mask
 
     # reset densification stats (3DGS zeroes them after densify)
     gmap = gmap.replace(
@@ -459,6 +481,10 @@ def densify_and_prune(
         grad_denom=jnp.zeros_like(gmap.grad_denom),
         max_radii2d=jnp.zeros_like(gmap.max_radii2d),
     )
+    if aux_vis is not None:
+        if opt_state is None:
+            return gmap, aux_vis
+        return gmap, opt_state, aux_vis
     if opt_state is None:
         return gmap
     return gmap, opt_state

@@ -457,8 +457,14 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
                 ab += w * cbl
                 ad += w * cd
                 if probe_wmax:
+                    # ceil, not round: any nonzero blend weight must fix to a
+                    # nonzero int so the probe's `wmax > 0` touched test keeps
+                    # exact n_touched>0 semantics (round would drop
+                    # contributors below ~7.6e-6, under-reporting visibility
+                    # in the over-pruning direction — ADVICE r2); caps get at
+                    # most 1 LSB more conservative (deeper), the safe side
                     nts.append(
-                        jnp.round(w.max(axis=1) * 65536.0).astype(jnp.int32)
+                        jnp.ceil(w.max(axis=1) * 65536.0).astype(jnp.int32)
                     )
                 elif with_nt:
                     nts.append((w > 0.0).sum(axis=1).astype(jnp.int32))

@@ -388,7 +388,7 @@ def mapping_run(
         loss: jax.Array
 
     def iter_body(c: Carry, replay_slots, replay_w, bins,
-                  touched_w=None) -> Carry:
+                  use_fb=False) -> Carry:
         rng, k_densify = jax.random.split(c.rng, 2)
         it_count = c.it_count + 1
         local_it = c.local_it + 1
@@ -397,18 +397,21 @@ def mapping_run(
         # branch and by the FINAL iteration's occ_visibility result — skip
         # the (pairs,)-row scatter everywhere else. Under saturation
         # feedback the period probe supplies FULL-depth visibility
-        # (touched_w) instead, so the render-side scatter is never needed
-        # (and must not be used: capped renders under-report visibility).
+        # (carried in c.occ_vis, refreshed each rebin period and propagated
+        # through densify's clone/split/prune so mid-period children keep
+        # their parent's observed status — ADVICE r2), so the render-side
+        # scatter is never needed (and must not be used: capped renders
+        # under-report visibility).
         if mcfg.initialization:
             reset_pred = (it_count == mcfg.init_gaussian_reset) | (
                 it_count == mcfg.densify_from_iter
             )
         else:
             reset_pred = (it_count % mcfg.gaussian_reset == 0)
-        if touched_w is None:
-            need_nt = reset_pred | (local_it >= local_end)
-        else:
+        if use_fb:
             need_nt = False
+        else:
+            need_nt = reset_pred | (local_it >= local_end)
 
         grads_fn = camera_grads_sharded if mesh is not None else camera_grads
         loss, g_params, g_tau, g_ab, gvs_norm, aux = grads_fn(
@@ -460,8 +463,8 @@ def mapping_run(
             )
 
         def densify_fn(args):
-            g, s = args
-            return gm.densify_and_prune(
+            g, s, vis = args
+            out = gm.densify_and_prune(
                 g,
                 k_densify,
                 grad_threshold=mcfg.densify_grad_threshold,
@@ -470,10 +473,15 @@ def mapping_run(
                 max_screen_size=max_screen,
                 percent_dense=mcfg.percent_dense,
                 opt_state=s,
+                # visibility inheritance matters only for the fb path, whose
+                # consumers read the period-probe snapshot; the non-fb path
+                # re-reads same-iteration n_touched and skips the scatters
+                aux_vis=vis if use_fb else None,
             )
+            return out if use_fb else (out[0], out[1], vis)
 
-        gmap, opt_state = jax.lax.cond(
-            do_densify, densify_fn, lambda a: a, (gmap, opt_state)
+        gmap, opt_state, vis_cur = jax.lax.cond(
+            do_densify, densify_fn, lambda a: a, (gmap, opt_state, c.occ_vis)
         )
 
         if mcfg.initialization:
@@ -483,10 +491,14 @@ def mapping_run(
                 return gm.reset_opacity(g, opt_state=s)
 
         else:
-            if touched_w is None:
-                win_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+            if use_fb:
+                # period-probe visibility, densify-propagated (exact for
+                # clone/split; param drift within the <=rebin_every-iter
+                # period stays sub-LSB, same skew class as the reference's
+                # own pre-/post-step visibility reads)
+                win_vis = vis_cur
             else:
-                win_vis = touched_w & window_valid[:, None]
+                win_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
             visible_any = win_vis.any(axis=0)
 
             def reset_fn(args):
@@ -514,10 +526,10 @@ def mapping_run(
         )
         abw = c.abw - jnp.where(expo_mask[:, None], upd_ab, 0.0)
 
-        if touched_w is None:
-            occ_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
+        if use_fb:
+            occ_vis = vis_cur
         else:
-            occ_vis = touched_w & window_valid[:, None]
+            occ_vis = (n_touched_all[:Ws] > 0) & window_valid[:, None]
         return Carry(
             gmap=gmap,
             opt_state=opt_state,
@@ -603,13 +615,19 @@ def mapping_run(
         bins = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *bins_list
         )
-        touched_w = jnp.stack(touched_list) if use_fb else None
         c = c._replace(rng=rng)
+        if use_fb:
+            # fresh full-depth probe visibility for this period; iter_body
+            # propagates it through densify so mid-period clones/splits
+            # inherit their parent's observed status (ADVICE r2)
+            c = c._replace(
+                occ_vis=jnp.stack(touched_list) & window_valid[:, None]
+            )
 
         stop_at = jnp.minimum(c.local_it + mcfg.rebin_every, local_end)
         return jax.lax.while_loop(
             lambda cc: cc.local_it < stop_at,
-            lambda cc: iter_body(cc, replay_slots, replay_w, bins, touched_w),
+            lambda cc: iter_body(cc, replay_slots, replay_w, bins, use_fb),
             c,
         )
 

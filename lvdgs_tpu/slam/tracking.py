@@ -80,6 +80,15 @@ class TrackingConfig:
     coarse_iters: int = 60
     coarse_min_iters: int = 20
     fine_min_iters: int = 20  # pyramid fine stage: first-period exit allowed
+    # saturation caps are probed on the first rebin and carried (the map is
+    # frozen during tracking), but a large cumulative pose correction can
+    # shift tile contents enough that a stale cap truncates useful depth at
+    # the 1-LSB tolerance (ADVICE r2). Re-probe at the next rebin boundary
+    # once the accumulated drift metric ||Δtrans|| + 10·||Δrot|| since the
+    # last probe exceeds this (rotation weighted by its ~10x larger pixel
+    # leverage at KITTI focal/depth scales; 0.02 ~ a few pixels, well inside
+    # the 16 px rebin margin). <=0 re-probes every rebin.
+    cap_reprobe_drift: float = 0.02
     # skip the final dense bookkeeping render (pyramid coarse stage only —
     # its n_touched is never consumed)
     final_render: bool = True
@@ -100,8 +109,9 @@ class TrackState(NamedTuple):
     opacity: jax.Array  # (1, H, W)
     n_touched: jax.Array  # (C,)
     loss: jax.Array
-    caps: jax.Array  # (T,) saturation caps, probed once (-1 = not yet)
+    caps: jax.Array  # (T,) saturation caps (-1 = probe at next rebin)
     tau_acc: jax.Array  # (6,) pose drift since the period's linearization
+    drift_acc: jax.Array  # () pose drift metric since the last cap probe
 
 
 class TrackResult(NamedTuple):
@@ -215,6 +225,9 @@ def track_camera(
             # first-order accumulation of the left-multiplied deltas (BCH
             # truncation matches the linearization's own order)
             tau_acc=s.tau_acc + tau_new,
+            drift_acc=s.drift_acc
+            + jnp.linalg.norm(tau_new[:3])
+            + 10.0 * jnp.linalg.norm(tau_new[3:]),
         )
 
     def body_with_bins(s: TrackState, bins) -> TrackState:
@@ -253,6 +266,9 @@ def track_camera(
             loss=loss,
             caps=s.caps,
             tau_acc=s.tau_acc,
+            drift_acc=s.drift_acc
+            + jnp.linalg.norm(tau_new[:3])
+            + 10.0 * jnp.linalg.norm(tau_new[3:]),
         )
 
     def outer_cond(s: TrackState):
@@ -260,11 +276,15 @@ def track_camera(
 
     def outer_body(s: TrackState) -> TrackState:
         # rebin at the current pose with a pixel-radius margin; saturation
-        # caps are probed on the FIRST rebin only and carried (map frozen)
+        # caps are probed on the first rebin and carried (map frozen), then
+        # re-probed once the accumulated pose drift since the last probe
+        # could shift tile contents past the caps' 1-LSB validity (ADVICE r2)
+        stale = s.drift_acc > tcfg.cap_reprobe_drift
+        caps_in = jnp.where(stale, jnp.full_like(s.caps, -1), s.caps)
         bins, caps = prepare_bins_with_caps(
-            params, active, s.R, s.T, intr, rcfg, tcfg.bin_margin, s.caps
+            params, active, s.R, s.T, intr, rcfg, tcfg.bin_margin, caps_in
         )
-        s = s._replace(caps=caps)
+        s = s._replace(caps=caps, drift_acc=jnp.where(stale, 0.0, s.drift_acc))
 
         def inner_cond(st: TrackState):
             return (~st.done) & (st.it < tcfg.max_iters) & (
@@ -318,6 +338,7 @@ def track_camera(
         loss=jnp.zeros(()),
         caps=jnp.full((ntx * nty,), -1, jnp.int32),
         tau_acc=jnp.zeros(6),
+        drift_acc=jnp.zeros(()),
     )
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     median_depth = get_median_depth(s.depth, s.opacity)

@@ -132,6 +132,77 @@ def test_densify_clone_and_split():
     assert int(gmap3.num_active) == n0 + 20  # -20 parents +40 children
 
 
+def test_densify_aux_vis_inheritance():
+    """aux_vis columns follow clone/split children and zero on prune
+    (ADVICE r2: mapping's period-probe visibility must stay valid through
+    mid-period densification)."""
+    cam, depth = _camera_with_depth()
+    gmap = gm.create_map(4096)
+    gmap = gm.seed_from_depth(gmap, cam, depth, INTR, kf_id=0, downsample=16)
+    act_idx = np.nonzero(np.asarray(gmap.active))[0]
+    hot = act_idx[:20]
+    ga = np.zeros(4096, np.float32)
+    ga[hot] = 1.0
+    gmap = gmap.replace(
+        grad_accum=jnp.asarray(ga), grad_denom=jnp.asarray((ga > 0).astype(np.float32))
+    )
+    # visibility snapshot: rows = 2 fake window cams; mark the hot slots
+    # visible in cam0, everything active visible in cam1
+    vis = np.zeros((2, 4096), bool)
+    vis[0, hot] = True
+    vis[1, act_idx] = True
+    vis = jnp.asarray(vis)
+
+    # clone path: children must inherit the parent's per-cam columns
+    g2, vis2 = gm.densify_and_prune(
+        gmap,
+        jax.random.PRNGKey(0),
+        grad_threshold=0.5,
+        min_opacity=0.005,
+        extent=1000.0,
+        max_screen_size=None,
+        aux_vis=vis,
+    )
+    vis2 = np.asarray(vis2)
+    act2 = np.asarray(g2.active)
+    new_slots = np.nonzero(act2 & ~np.asarray(gmap.active))[0]
+    assert len(new_slots) == 20
+    assert vis2[0, new_slots].all() and vis2[1, new_slots].all()
+    # untouched slots keep their original columns
+    assert (vis2[:, act_idx] == np.asarray(vis)[:, act_idx]).all()
+
+    # split path: children inherit, pruned parents zero
+    g3, vis3 = gm.densify_and_prune(
+        gmap,
+        jax.random.PRNGKey(1),
+        grad_threshold=0.5,
+        min_opacity=0.005,
+        extent=1e-9,
+        max_screen_size=None,
+        aux_vis=vis,
+    )
+    vis3 = np.asarray(vis3)
+    act3 = np.asarray(g3.active)
+    children = np.nonzero(act3 & ~np.asarray(gmap.active))[0]
+    assert len(children) == 40
+    assert vis3[0, children].all() and vis3[1, children].all()
+    assert not vis3[:, hot].any()  # split parents pruned -> columns zeroed
+    # opacity-pruned slots must zero too
+    low_op = gmap.replace(
+        logit_opacities=gmap.logit_opacities.at[hot[0]].set(-12.0)
+    )
+    g4, vis4 = gm.densify_and_prune(
+        low_op,
+        jax.random.PRNGKey(2),
+        grad_threshold=10.0,  # no densify
+        min_opacity=0.005,
+        extent=1000.0,
+        max_screen_size=None,
+        aux_vis=vis,
+    )
+    assert not np.asarray(vis4)[:, hot[0]].any()
+
+
 def test_adam_step_moves_active_only():
     cam, depth = _camera_with_depth()
     gmap = gm.create_map(512)
