@@ -130,6 +130,8 @@ class DynamicObjectMasker:
             # (utils/slam_frontend.py:698-717)
             for d in self.DUMP_DIRS:
                 os.makedirs(os.path.join(self.save_dir, d), exist_ok=True)
+        if self.detector is not None or self.segmenter is not None:
+            self.warmup()
 
     DUMP_DIRS = (
         "original",
@@ -161,6 +163,68 @@ class DynamicObjectMasker:
             return load_segmenter(ckpt)
         except Exception:
             return None
+
+    def warmup(self) -> dict:
+        """Detector/segmenter init self-test (reference `_warmup_detector`,
+        utils/slam_frontend.py:251-276 + utils/SAM.py:152-204): one
+        detection on a synthetic scene-like image and one box-prompted
+        segmentation, with health logging. Also pre-triggers the jit
+        compiles so the first real frame doesn't pay them. Returns a
+        health dict {detector_ok, detector_ms, n_boxes, segmenter_ok,
+        segmenter_ms}."""
+        import time as _time
+
+        from ..core.log import Log
+
+        health = {
+            "detector_ok": None, "detector_ms": None, "n_boxes": None,
+            "segmenter_ok": None, "segmenter_ms": None,
+        }
+        # structured ramp + bright block: deterministic, roughly road-scene
+        # statistics (the reference warms up on random noise; a structured
+        # image exercises the backbone's normalisation more realistically)
+        H, W = 240, 320
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = np.stack(
+            [
+                (120 + 100 * yy / H).astype(np.uint8),
+                (100 + 80 * xx / W).astype(np.uint8),
+                np.full((H, W), 128, np.uint8),
+            ],
+            axis=-1,
+        )
+        img[140:200, 90:210] = (200, 60, 60)  # car-sized bright block
+        if self.detector is not None:
+            t0 = _time.perf_counter()
+            try:
+                boxes, scores = self.detector(
+                    img, self.prompt_manager.get_dynamic_prompt()
+                )
+                health["detector_ok"] = True
+                health["n_boxes"] = int(len(boxes))
+                health["detector_ms"] = (_time.perf_counter() - t0) * 1e3
+                Log(
+                    f"Detector warmup OK: {len(boxes)} boxes in "
+                    f"{health['detector_ms']:.0f} ms"
+                )
+            except Exception as e:
+                health["detector_ok"] = False
+                Log(f"WARNING: detector warmup FAILED ({type(e).__name__}: {e}) "
+                    "— dynamic masking will use fallback ladders")
+        if self.segmenter is not None:
+            t0 = _time.perf_counter()
+            try:
+                masks = self.segmenter(
+                    img, np.array([[90.0, 140.0, 210.0, 200.0]], np.float32)
+                )
+                health["segmenter_ok"] = bool(np.asarray(masks).shape[0] == 1)
+                health["segmenter_ms"] = (_time.perf_counter() - t0) * 1e3
+                Log(f"SAM warmup OK in {health['segmenter_ms']:.0f} ms")
+            except Exception as e:
+                health["segmenter_ok"] = False
+                Log(f"WARNING: SAM warmup FAILED ({type(e).__name__}: {e}) "
+                    "— box masks degrade to rectangles")
+        return health
 
     def set_scene_from_config(self, config: dict) -> None:
         st = config.get("dynamic_filtering", {}).get("scene_type")

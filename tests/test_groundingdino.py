@@ -108,3 +108,52 @@ def test_tokenizer_fallback():
     ids = tok("car . truck")
     assert ids[0] == tok.cls and ids[-1] == tok.sep
     assert tok.dot in ids
+
+
+def test_tokenizer_packaged_vocab():
+    """No vocab_path -> the packaged prompt-lexicon vocab loads; the whole
+    SLAM prompt surface tokenizes [UNK]-free and off-lexicon ASCII words
+    fall back to char pieces, never [UNK] (VERDICT r2 #7)."""
+    from lvdgs_tpu.perception.masking import ScenePromptManager
+
+    tok = WordPieceTokenizer(None)
+    assert tok.vocab, "packaged prompt_vocab.txt missing"
+    for scene in ScenePromptManager.SCENES.values():
+        for phrases in scene.values():
+            for phrase in phrases:
+                ids = tok(phrase + " .")
+                assert tok.unk not in ids, phrase
+    # off-lexicon word: char continuation, not [UNK]
+    assert tok.unk not in tok("zeppelin .")
+    # distinct lexicon words get distinct single ids
+    assert tok("car .")[1] != tok("truck .")[1]
+
+
+def test_masker_warmup_health():
+    """Masker init runs the detector/segmenter self-test and reports health
+    (reference _warmup_detector parity, utils/slam_frontend.py:251-276)."""
+    from lvdgs_tpu.perception.masking import DynamicObjectMasker
+
+    calls = {}
+
+    def fake_detector(img, prompt):
+        calls["det"] = (img.shape, prompt)
+        return np.array([[10.0, 10.0, 50.0, 50.0]]), np.array([0.9])
+
+    def fake_segmenter(img, boxes):
+        calls["seg"] = boxes.shape
+        return np.ones((len(boxes), img.shape[0], img.shape[1]), bool)
+
+    m = DynamicObjectMasker(detector=fake_detector, segmenter=fake_segmenter)
+    assert "det" in calls and "seg" in calls  # warmup ran at init
+    h = m.warmup()
+    assert h["detector_ok"] and h["n_boxes"] == 1
+    assert h["segmenter_ok"]
+    assert "car" in calls["det"][1]  # scene prompt used
+
+    def broken_detector(img, prompt):
+        raise RuntimeError("boom")
+
+    m2 = DynamicObjectMasker(detector=broken_detector, segmenter=None)
+    h2 = m2.warmup()
+    assert h2["detector_ok"] is False and h2["segmenter_ok"] is None
