@@ -55,11 +55,18 @@ def eval_rendering(
     kf_indices: Optional[List[int]] = None,
     iteration: str = "final",
     max_frames: Optional[int] = None,
+    viz_every: int = 1,
 ) -> Dict[str, float]:
     """Render every non-keyframe frame from its estimated pose.
 
     `frames` maps frame_idx -> {"R","T",...} plus optionally "static_mask"
     (H, W) bool. Returns mean psnr/ssim/lpips (+ *_static when masks exist).
+
+    With `save_dir` set, every `viz_every`-th evaluated frame also writes
+    the reference's per-frame artifacts (utils/eval_utils_0806.py:317-386):
+    render/depth PNG dumps plus the 6-panel GT/render/residual/depths/mask
+    figure (eval/viz.py). `viz_every=1` is reference parity; raise it to
+    thin the dumps on long sequences.
     """
     kf_set = set(kf_indices or [])
     img_pred, img_gt = [], []
@@ -76,7 +83,7 @@ def eval_rendering(
         if idx in kf_set or idx not in frames:
             continue
         f = frames[idx]
-        image, _, _, _ = dataset[idx]
+        image, _, _, mono_depth = dataset[idx]
         gt = jnp.asarray(image)
         out = rasterize(
             params, active, jnp.asarray(f["R"]), jnp.asarray(f["T"]), intr, rcfg
@@ -97,9 +104,24 @@ def eval_rendering(
             psnrs_s.append(float(psnr_fn(render_s, gt_s, valid & sm)))
             ssims_s.append(float(ssim_fn(render_s, gt_s)))
 
-        if save_dir is not None and idx % 20 == 0:
+        if save_dir is not None and idx % viz_every == 0:
             _dump_frame(save_dir, iteration, idx, np.asarray(render), np.asarray(gt),
                         np.asarray(out.depth[0]))
+            try:
+                from .viz import six_panel
+
+                six_panel(
+                    gt,
+                    render,
+                    np.asarray(out.depth[0]),
+                    np.asarray(mono_depth) if mono_depth is not None
+                    else np.asarray(out.depth[0]),
+                    static,
+                    idx,
+                    os.path.join(save_dir, f"panels_{iteration}"),
+                )
+            except Exception as e:  # viz is best-effort (matplotlib optional)
+                Log(f"six_panel viz failed for frame {idx}: {e}", tag="Eval")
 
     result = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,

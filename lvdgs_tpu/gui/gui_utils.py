@@ -105,6 +105,24 @@ class HeadlessViewer:
             )
         if pkt.gaussians is not None:
             self._write_ply(pkt.gaussians, os.path.join(self.out_dir, "live_map.ply"))
+        if pkt.current_frame is not None:
+            # append-only pose feed: tools/replay_viewer.py consumes this to
+            # draw the live trajectory + keyframe markers (parity target:
+            # the reference Open3D viewer's camera trail,
+            # utils/slam_frontend.py:1524-1531)
+            import json
+
+            rec = {
+                "n": self._n,
+                "frame": _pose_record(pkt.current_frame),
+                "keyframes": [_pose_record(k) for k in (pkt.keyframes or [])],
+                "kf_window": {
+                    str(k): list(map(int, v))
+                    for k, v in (pkt.kf_window or {}).items()
+                },
+            }
+            with open(os.path.join(self.out_dir, "trajectory.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     @staticmethod
     def _write_ply(g: dict, path: str) -> None:
@@ -127,6 +145,15 @@ class HeadlessViewer:
         with open(path, "wb") as f:
             f.write(header.encode("ascii"))
             f.write(rec.tobytes())
+
+
+def _pose_record(d: dict) -> dict:
+    """Serializable {uid, R, T} from a packet pose dict (w2c)."""
+    return {
+        "uid": int(d.get("uid", -1)),
+        "R": np.asarray(d["R"]).reshape(3, 3).tolist(),
+        "T": np.asarray(d["T"]).reshape(3).tolist(),
+    }
 
 
 class FakeQueue:

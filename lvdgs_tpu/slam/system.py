@@ -277,6 +277,9 @@ class SLAM:
         self.do_eval_rendering = res.get("eval_rendering", True)
         self.do_global_ba = res.get("global_BA", False)
         self.global_ba_iters = tr.get("global_BA_itr_num", 500)
+        # per-keyframe rendered-vs-mono depth comparison panels at fusion
+        # time (reference utils/init_pose.py:211-273, VERDICT r2 #6)
+        self.save_depth_comparison = res.get("save_depth_comparison", False)
 
         # dynamic masking / pose-prior / depth-prior plug points
         self.masker = masker
@@ -535,6 +538,17 @@ class SLAM:
             last_cam = self._cams.get(self.current_window[0])
             if last_cam is not None:
                 remedy_fn = lambda: self.scale_remedy(cam, last_cam)  # noqa: E731
+
+        if self.save_depth_comparison and self.save_dir:
+            try:
+                from ..eval.viz import save_depth_comparison
+
+                save_depth_comparison(
+                    render_depth, cam.mono_depth, cam.image, idx,
+                    os.path.join(self.save_dir, "depth_comparison"),
+                )
+            except Exception as e:  # best-effort viz (matplotlib optional)
+                Log(f"depth-comparison viz failed for frame {idx}: {e}")
 
         dc = self.depth_cfg
         fused, scale, _err, _nacc = process_depth(

@@ -42,6 +42,42 @@ def test_gui_packet_and_headless_viewer(tmp_path):
     assert fq.empty()
 
 
+def test_replay_viewer_composite(tmp_path):
+    """HeadlessViewer persists the trajectory feed and tools/replay_viewer.py
+    renders a composite from the packet dir (VERDICT r2 #7: the L11 loop —
+    live feed -> on-disk packets -> viewer)."""
+    import sys
+    from lvdgs_tpu.gui.gui_utils import GaussianPacket, HeadlessViewer, snapshot_gaussians
+    from lvdgs_tpu.gaussian import model as gm
+
+    gmap = gm.create_map(128)
+    gmap = gmap.replace(active=gmap.active.at[:10].set(True))
+    v = HeadlessViewer(str(tmp_path), every=1)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        v.put(
+            GaussianPacket(
+                gaussians=snapshot_gaussians(gmap) if i == 2 else None,
+                render=rng.uniform(0, 1, (3, 32, 32)),
+                current_frame={"R": np.eye(3), "T": np.array([0.1 * i, 0, 0]),
+                               "uid": i},
+                keyframes=[{"R": np.eye(3), "T": np.zeros(3), "uid": 0}],
+                kf_window={0: []},
+            )
+        )
+    v.close()
+    traj = os.path.join(str(tmp_path), "trajectory.jsonl")
+    assert os.path.exists(traj)
+    assert len(open(traj).read().strip().splitlines()) == 3
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import replay_viewer
+
+    out = os.path.join(str(tmp_path), "replay.png")
+    n = replay_viewer.compose(str(tmp_path), out)
+    assert n == 3 and os.path.exists(out)
+
+
 def test_viz_outputs(tmp_path):
     from lvdgs_tpu.eval.viz import save_depth_comparison, six_panel, mask_overlay
 
@@ -54,6 +90,54 @@ def test_viz_outputs(tmp_path):
     assert os.path.exists(p2)
     out = mask_overlay((rgb.transpose(1, 2, 0) * 255).astype(np.uint8), d > 3)
     assert out.shape == (24, 32, 3)
+
+
+def test_eval_rendering_writes_viz(tmp_path):
+    """eval_rendering with save_dir emits the reference's per-frame
+    artifacts: render/depth dumps AND the 6-panel figure (VERDICT r2 #6 —
+    previously the panels existed but nothing called them)."""
+    import jax.numpy as jnp
+    from lvdgs_tpu.core.camera import Intrinsics
+    from lvdgs_tpu.eval.rendering import eval_rendering
+    from lvdgs_tpu.gaussian import model as gm
+    from lvdgs_tpu.ops.rasterizer import RenderConfig
+
+    intr = Intrinsics(fx=30.0, fy=30.0, cx=16.0, cy=12.0, width=32, height=24)
+    rng = np.random.default_rng(0)
+    gmap = gm.create_map(256)
+    n = 64
+    gmap = gmap.replace(
+        means=gmap.means.at[:n].set(
+            jnp.asarray(rng.normal(0, 1, (n, 3)) + np.array([0, 0, 4.0]),
+                        jnp.float32)
+        ),
+        active=gmap.active.at[:n].set(True),
+    )
+
+    class FakeDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            img = jnp.asarray(rng.uniform(0, 1, (3, 24, 32)), jnp.float32)
+            mono = jnp.asarray(rng.uniform(1, 5, (24, 32)), jnp.float32)
+            return img, None, None, mono
+
+    frames = {
+        i: {"R": np.eye(3, dtype=np.float32),
+            "T": np.zeros(3, np.float32),
+            "static_mask": np.ones((24, 32), bool)}
+        for i in range(3)
+    }
+    rcfg = RenderConfig(tile_size=16, max_per_tile=64, use_pallas=True,
+                        use_packed=False)
+    res = eval_rendering(
+        gmap, frames, FakeDS(), intr, rcfg, save_dir=str(tmp_path),
+        kf_indices=[0], iteration="test",
+    )
+    assert res["n_eval_frames"] == 2
+    panels = os.listdir(tmp_path / "panels_test")
+    assert len(panels) == 2  # one 6-panel per evaluated frame
 
 
 def test_dinov2_forward_tiny():
