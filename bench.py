@@ -255,8 +255,12 @@ def main():
         except Exception as e:  # stale/corrupt cache -> rebuild
             log(f"cache load failed ({e}); rebuilding")
             slam = None
-    needs_build = slam is None or slam.frames_processed < WARM_FRAMES or (
-        not slam.initialized and slam.frames_processed < WARM_MAX
+    # `ready` records that a previous build saw the loop's exit conditions
+    # (initialized + capacity quiet) — without it, every bench process would
+    # re-prove capacity quiescence with 3 more frames, creeping the cached
+    # state forward run over run
+    needs_build = slam is None or not (
+        meta is not None and meta.get("ready") and meta.get("key") == key
     )
     if needs_build:
         # (re)build, continuing from a same-key partial state if one was
@@ -271,18 +275,29 @@ def main():
         )
         t0 = time.perf_counter()
 
-        def _checkpoint(frames):
+        def _checkpoint(frames, ready=False):
             slam.save_state(ck_path)
             with open(meta_path, "w") as f:
-                json.dump({"key": key, "frames": frames}, f)
+                json.dump({"key": key, "frames": frames, "ready": ready}, f)
 
         idx = start
         # phase 1: the fixed minimum; phase 2: continue until the system
-        # reports initialized (window full + first covisibility prune) so
-        # the timed region measures pure steady state
-        while idx < WARM_FRAMES or (not slam.initialized and idx < WARM_MAX):
+        # reports initialized (window full + first covisibility prune) AND
+        # the map capacity has settled (capacity growth swaps in
+        # differently-shaped compiled programs — letting one land inside the
+        # 12-frame timed region charges a one-off remote compile against
+        # steady-state throughput; in a real multi-thousand-frame run that
+        # compile amortises to nothing)
+        cap_last = slam.gmap.capacity
+        cap_quiet = 0
+        while idx < WARM_MAX and (
+            idx < WARM_FRAMES or not slam.initialized or cap_quiet < 3
+        ):
             slam.process_frame(idx)
             idx += 1
+            cap_now = slam.gmap.capacity
+            cap_quiet = 0 if cap_now != cap_last else cap_quiet + 1
+            cap_last = cap_now
             # periodic checkpoint: the axon tunnel can drop mid-build
             # (remote_compile connection refused); a retry then resumes
             # here instead of paying the whole build again
@@ -290,10 +305,20 @@ def main():
                 _checkpoint(idx)
         log(f"warm build: {time.perf_counter() - t0:.1f}s; frames={idx}; "
             f"initialized={slam.initialized}")
-        _checkpoint(idx)
+        _checkpoint(idx, ready=True)
     if not slam.initialized:
         log(f"WARNING: not initialized after {slam.frames_processed} warm "
             "frames — timed region will include pre-init keyframe costs")
+
+    # pre-grow to the configured max capacity: the map crosses the 0.7-fill
+    # growth threshold mid-trajectory (~frame 55 at reference seeding
+    # density), and a growth INSIDE the 12-frame timed region swaps in
+    # freshly-compiled programs at the new shapes — minutes of remote
+    # compile charged against steady state. A real multi-thousand-frame run
+    # spends almost all its frames at max capacity (r01 measured there),
+    # so timing at 2^17 from the start is the honest steady-state shape.
+    while slam.gmap.capacity < config["Performance"]["map_capacity"]:
+        slam._grow_to(slam.gmap.capacity * 2)
 
     # one untimed resume frame re-triggers every compile (cache-warm)
     warm_end = slam.frames_processed

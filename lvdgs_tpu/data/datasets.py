@@ -268,6 +268,119 @@ class MonocularDataset:
         return image, depth, pose, mono_depth
 
 
+def _tex(x, z, seed=0.0):
+    """Multi-octave procedural value texture in [0, 1] (deterministic)."""
+    v = (
+        0.30 * np.sin(1.7 * x + 0.9 * z + seed)
+        + 0.22 * np.sin(4.3 * x - 2.1 * z + 2.0 * seed)
+        + 0.14 * np.sin(11.0 * x + 7.0 * z + 3.0 * seed)
+        + 0.08 * np.sin(23.0 * x - 17.0 * z + 5.0 * seed)
+    )
+    return 0.5 + 0.5 * np.tanh(v)
+
+
+def _street_scene(rng, scfg):
+    """Structured, textured street world for the real-data-faithful bench
+    (VERDICT r2 #4): ground plane with lane markings, building facades with
+    window grids, street furniture — all as thin surfel Gaussians with
+    multi-octave procedural texture, KITTI-like depth range and geometry.
+    Returns numpy param dict."""
+    n_frames = scfg.get("n_frames", 120)
+    step = scfg.get("step", 0.5)
+    z_max = n_frames * step + 70.0
+    half_w = scfg.get("street_half_width", 10.0)
+    sp = scfg.get("street_spacing", 0.4)
+
+    means, colors, scales = [], [], []
+
+    # ---- ground plane (y=+1.5, camera at y=0, y down) with lane markings
+    xs = np.arange(-half_w, half_w + 1e-6, sp)
+    zs = np.arange(0.5, z_max, sp)
+    gx, gz = np.meshgrid(xs, zs)
+    gx = gx.ravel() + rng.normal(0, 0.05, gx.size)
+    gz = gz.ravel() + rng.normal(0, 0.05, gx.size)
+    gy = np.full_like(gx, 1.5) + 0.02 * np.sin(0.8 * gx) * np.sin(0.5 * gz)
+    base = 0.18 + 0.12 * _tex(gx, gz, 1.0)
+    # dashed center line + solid side lines
+    lane = ((np.abs(gx) < 0.15) & ((gz % 6.0) < 3.0)) | (
+        np.abs(np.abs(gx) - 3.5) < 0.12
+    )
+    gcol = np.stack([base, base, base], 1)
+    gcol[lane] = 0.85
+    means.append(np.stack([gx, gy, gz], 1))
+    colors.append(gcol)
+    scales.append(
+        np.tile(np.log([0.35, 0.02, 0.35]), (gx.size, 1))
+    )
+
+    # ---- building facades at x = +-half_w, windows + per-building tint
+    ys = np.arange(-4.5, 1.5 + 1e-6, sp)
+    for side in (-1.0, 1.0):
+        wy, wz = np.meshgrid(ys, zs)
+        wy = wy.ravel() + rng.normal(0, 0.03, wy.size)
+        wz2 = wz.ravel() + rng.normal(0, 0.03, wy.size)
+        wx = np.full_like(wy, side * half_w) + rng.normal(0, 0.02, wy.size)
+        bid = np.floor(wz2 / 18.0)  # building id -> tint
+        tint = np.stack(
+            [
+                0.35 + 0.3 * _tex(bid, bid, 7.0),
+                0.30 + 0.3 * _tex(bid, bid, 11.0),
+                0.28 + 0.3 * _tex(bid, bid, 17.0),
+            ],
+            1,
+        )
+        fac = 0.6 + 0.4 * _tex(wy * 2.0, wz2 * 2.0, 3.0)
+        wcol = tint * fac[:, None]
+        # window grid: dark recessed cells
+        win = ((wy % 1.4) < 0.7) & ((wz2 % 2.6) < 1.3) & (wy < 0.8)
+        wcol[win] *= 0.35
+        means.append(np.stack([wx, wy, wz2], 1))
+        colors.append(wcol)
+        scales.append(np.tile(np.log([0.02, 0.35, 0.35]), (wy.size, 1)))
+
+    # ---- street furniture: poles with small cross pieces
+    n_poles = max(4, int(z_max / 12.0))
+    for side in (-1.0, 1.0):
+        pz = rng.uniform(4.0, z_max - 5.0, n_poles)
+        for z0 in pz:
+            py = np.arange(-3.2, 1.5, 0.25)
+            px = np.full_like(py, side * (half_w - 3.0))
+            means.append(
+                np.stack([px, py, np.full_like(py, z0)], 1)
+            )
+            c = 0.3 + 0.2 * _tex(py, np.full_like(py, z0), 9.0)
+            colors.append(np.stack([c, c, c * 0.9], 1))
+            scales.append(np.tile(np.log([0.06, 0.14, 0.06]), (py.size, 1)))
+
+    # ---- far end wall (no empty sky at the vanishing point)
+    ex = np.arange(-3 * half_w, 3 * half_w, 1.0)
+    ey = np.arange(-12.0, 2.0, 1.0)
+    mx, my = np.meshgrid(ex, ey)
+    mx, my = mx.ravel(), my.ravel()
+    mz = np.full_like(mx, z_max + 5.0)
+    c = 0.5 + 0.3 * _tex(mx * 0.2, my * 0.2, 13.0)
+    means.append(np.stack([mx, my, mz], 1))
+    colors.append(np.stack([c * 0.7, c * 0.8, c], 1))
+    scales.append(np.tile(np.log([0.8, 0.8, 0.05]), (mx.size, 1)))
+
+    means = np.concatenate(means).astype(np.float32)
+    colors = np.concatenate(colors).astype(np.float32)
+    scales = np.concatenate(scales).astype(np.float32)
+    n = means.shape[0]
+    from ..gaussian.model import SH_C0
+
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    return {
+        "means": means,
+        # colors enter rendering as clip(0.5 + SH_C0 * dc): invert
+        "features_dc": (colors - 0.5) / SH_C0,
+        "log_scales": scales,
+        "quats": quats,
+        "logit_opacities": np.full((n,), 4.0, np.float32),
+    }
+
+
 class SyntheticDataset:
     """Procedural Gaussian-world dataset (new capability).
 
@@ -298,24 +411,45 @@ class SyntheticDataset:
         self.depth_scale = 1.0
         self.num_imgs = scfg.get("n_frames", 30)
 
-        n = scfg.get("n_gaussians", 4000)
         rng = np.random.default_rng(scfg.get("seed", 0))
-        spread = scfg.get("spread", 4.0)
-        means = np.concatenate(
-            [
-                rng.normal(size=(n, 2)) * spread,
-                rng.uniform(4.0, 14.0, size=(n, 1)),
-            ],
-            axis=1,
-        )
-        self._params = {
-            "means": jnp.asarray(means, jnp.float32),
-            "features_dc": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
-            "log_scales": jnp.asarray(rng.uniform(-2.0, -0.9, size=(n, 3)), jnp.float32),
-            "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
-            "logit_opacities": jnp.asarray(rng.uniform(1.5, 4.0, size=(n,)), jnp.float32),
-        }
+        self._scene = scfg.get("scene", "cloud")
+        if self._scene == "street":
+            params_np = _street_scene(rng, scfg)
+            n = params_np["means"].shape[0]
+            self._params = {
+                k: jnp.asarray(v, jnp.float32) for k, v in params_np.items()
+            }
+        else:
+            n = scfg.get("n_gaussians", 4000)
+            spread = scfg.get("spread", 4.0)
+            means = np.concatenate(
+                [
+                    rng.normal(size=(n, 2)) * spread,
+                    rng.uniform(4.0, 14.0, size=(n, 1)),
+                ],
+                axis=1,
+            )
+            self._params = {
+                "means": jnp.asarray(means, jnp.float32),
+                "features_dc": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+                "log_scales": jnp.asarray(
+                    rng.uniform(-2.0, -0.9, size=(n, 3)), jnp.float32
+                ),
+                "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+                "logit_opacities": jnp.asarray(
+                    rng.uniform(1.5, 4.0, size=(n,)), jnp.float32
+                ),
+            }
         self._active = jnp.ones((n,), bool)
+        # photometric realism knobs (street bench): per-frame exposure
+        # gain/bias (exercises the tracking exposure compensation) and
+        # sensor noise; mono-depth degradation (global scale error + noise)
+        # so the patch-based scale alignment has real work to do
+        self._photo_gain = scfg.get("photo_gain_jitter", 0.0)
+        self._photo_bias = scfg.get("photo_bias_jitter", 0.0)
+        self._photo_noise = scfg.get("photo_noise", 0.0)
+        self._mono_scale = scfg.get("mono_scale_error", 1.0)
+        self._mono_noise = scfg.get("mono_noise", 0.0)
         self._rcfg = RenderConfig(
             tile_size=16,
             max_per_tile=scfg.get("max_per_tile", 256),
@@ -347,6 +481,7 @@ class SyntheticDataset:
         return self.num_imgs
 
     def __getitem__(self, idx):
+        import jax
         import jax.numpy as jnp
 
         if idx not in self._cache:
@@ -368,9 +503,35 @@ class SyntheticDataset:
                 out.depth[0] / jnp.maximum(out.opacity[0], 1e-6),
                 0.0,
             )
-            self._cache[idx] = (out.image, depth)
-        image, depth = self._cache[idx]
-        return image, depth, self.poses[idx], depth
+            image = out.image
+            mono = depth
+            if self._photo_gain or self._photo_bias or self._photo_noise:
+                # deterministic per-frame photometric perturbation (camera
+                # auto-exposure + sensor noise); the SLAM side must absorb
+                # gain/bias with its exposure affine — GT stays untouched
+                # for eval because eval renders compare against THIS image
+                k = jax.random.fold_in(jax.random.PRNGKey(911), idx)
+                kg, kb, kn = jax.random.split(k, 3)
+                gain = 1.0 + self._photo_gain * jax.random.uniform(
+                    kg, (), minval=-1.0, maxval=1.0
+                )
+                bias = self._photo_bias * jax.random.uniform(
+                    kb, (), minval=-1.0, maxval=1.0
+                )
+                noise = self._photo_noise * jax.random.normal(kn, image.shape)
+                image = jnp.clip(image * gain + bias + noise, 0.0, 1.0)
+            if self._mono_scale != 1.0 or self._mono_noise:
+                # degraded mono-depth prior: global scale error (monocular
+                # nets are scale-ambiguous) + multiplicative noise; the
+                # patch-based alignment must recover the scale
+                kd = jax.random.fold_in(jax.random.PRNGKey(13), idx)
+                mono = depth * self._mono_scale * (
+                    1.0 + self._mono_noise * jax.random.normal(kd, depth.shape)
+                )
+                mono = jnp.maximum(mono, 0.0)
+            self._cache[idx] = (image, depth, mono)
+        image, depth, mono = self._cache[idx]
+        return image, depth, self.poses[idx], mono
 
 
 def load_dataset(args, path, config):
