@@ -49,6 +49,27 @@ def ate_rmse(
     est_centers = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in est_w2c], axis=1)
     gt_centers = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in gt_w2c], axis=1)
 
+    # non-finite poses (diverged tracking) poison the SVD: score only the
+    # finite subset and report how many were dropped (reference wraps the
+    # whole evo alignment in try/except, utils/eval_utils_0806.py:40-63)
+    finite = np.isfinite(est_centers).all(axis=0) & np.isfinite(gt_centers).all(
+        axis=0
+    )
+    n_bad = int((~finite).sum())
+    if n_bad:
+        Log(
+            f"ATE: dropping {n_bad}/{finite.size} non-finite keyframe poses "
+            "(tracking diverged)",
+            tag="Eval",
+        )
+        if not finite.any():
+            return {"rmse": float("inf"), "mean": float("inf"),
+                    "median": float("inf"), "std": 0.0, "min": float("inf"),
+                    "max": float("inf"), "aligned": False, "scale": 1.0,
+                    "n_dropped": n_bad}
+        est_centers = est_centers[:, finite]
+        gt_centers = gt_centers[:, finite]
+
     # diversity check (reference fallback, utils/eval_utils_0806.py:40-63)
     spread = est_centers.std(axis=1).max()
     if est_centers.shape[1] < 3 or spread < 1e-8:
@@ -62,6 +83,7 @@ def ate_rmse(
             "max": float(err.max()),
             "aligned": False,
             "scale": 1.0,
+            "n_dropped": n_bad,
         }
 
     R, t, c = umeyama_alignment(est_centers, gt_centers, with_scale=monocular)
@@ -76,6 +98,7 @@ def ate_rmse(
         "max": float(err.max()),
         "aligned": True,
         "scale": c,
+        "n_dropped": n_bad,
     }
 
 

@@ -117,6 +117,31 @@ class WordPieceTokenizer:
         ids.append(self.sep)
         return ids
 
+    def tokenize_with_spans(self, caption: str):
+        """Tokenize and record which '.'-separated phrase each token belongs
+        to: returns (ids, phrase_idx) with phrase_idx[i] = -1 for special
+        tokens. Used to decode per-box phrases from token-grounded logits
+        (reference groundingdino.util.inference.predict's phrase decoding)."""
+        ids = [self.cls]
+        spans = [-1]
+        phrase = 0
+        seen_word = False
+        for tok in caption.lower().replace(".", " . ").split():
+            if tok == ".":
+                ids.append(self.dot)
+                spans.append(-1)
+                if seen_word:
+                    phrase += 1
+                    seen_word = False
+            else:
+                pieces = self._wordpiece(tok)
+                ids.extend(pieces)
+                spans.extend([phrase] * len(pieces))
+                seen_word = True
+        ids.append(self.sep)
+        spans.append(-1)
+        return ids, spans
+
 
 def build_text_masks(ids: np.ndarray, special: Tuple[int, ...]):
     """(L,) ids -> (L, L) phrase-block self-attention mask + (L,) pad mask.
@@ -149,7 +174,7 @@ class GroundingDINODetector:
         return cls(load_converted(path, cfg), cfg, vocab_path)
 
     def __call__(self, img_u8: np.ndarray, prompt: str,
-                 box_threshold: float = 0.35) -> Tuple[np.ndarray, np.ndarray]:
+                 box_threshold: float = 0.35, return_phrases: bool = False):
         H, W = img_u8.shape[:2]
         S = self.image_size
         scale = S / max(H, W)
@@ -168,7 +193,9 @@ class GroundingDINODetector:
         x = (resized.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         x = x.transpose(2, 0, 1)[None]
 
-        ids = np.asarray(self.tokenizer(prompt), np.int32)[: self.cfg.max_text_len]
+        ids_list, span_list = self.tokenizer.tokenize_with_spans(prompt)
+        ids = np.asarray(ids_list, np.int32)[: self.cfg.max_text_len]
+        spans = np.asarray(span_list, np.int32)[: self.cfg.max_text_len]
         self_mask, pad_mask = build_text_masks(
             ids, (self.tokenizer.cls, self.tokenizer.sep, self.tokenizer.dot)
         )
@@ -187,6 +214,17 @@ class GroundingDINODetector:
         best = scores.max(axis=1)
         keep = best >= box_threshold
         boxes = boxes[keep]
+        phrases = None
+        if return_phrases:
+            # decode the phrase each kept box grounds to: the prompt class
+            # whose span contains the box's max-scoring token (reference
+            # groundingdino.util.inference.predict phrase decoding)
+            classes = [c.strip() for c in prompt.split(".") if c.strip()]
+            tok_best = scores[keep][:, : len(spans)].argmax(axis=1)
+            phrases = []
+            for t in tok_best:
+                pi = int(spans[t]) if t < len(spans) else -1
+                phrases.append(classes[pi] if 0 <= pi < len(classes) else "")
         best = best[keep]
         # cxcywh normalised -> xyxy pixels (reference fix at
         # utils/slam_frontend.py:362-382)
@@ -195,6 +233,8 @@ class GroundingDINODetector:
             [(cx - bw / 2) * W, (cy - bh / 2) * H, (cx + bw / 2) * W, (cy + bh / 2) * H],
             axis=-1,
         ) if len(boxes) else np.zeros((0, 4))
+        if return_phrases:
+            return xyxy, best, phrases
         return xyxy, best
 
 

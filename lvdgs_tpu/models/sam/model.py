@@ -307,7 +307,15 @@ def _mlp3(x, p):
 
 
 def init_params(key, cfg: SAMConfig) -> Dict:
-    ks = iter(jax.random.split(key, 64 + cfg.depth * 4))
+    def _keystream(k):
+        # unbounded deterministic key stream: a statically sized split
+        # under-counted at production decoder width (StopIteration at ViT-B)
+        i = 0
+        while True:
+            yield jax.random.fold_in(k, i)
+            i += 1
+
+    ks = _keystream(key)
     D, E = cfg.dim, cfg.embed_dim
     g = cfg.img_size // cfg.patch_size
 
