@@ -320,18 +320,75 @@ def main():
     while slam.gmap.capacity < config["Performance"]["map_capacity"]:
         slam._grow_to(slam.gmap.capacity * 2)
 
+    # --- optional perception-inclusive mode (BENCH_PERCEPTION=1): account
+    # the reference frontend's dominant per-frame cost (2 MASt3R ViT-L
+    # stereo forwards/frame, utils/slam_frontend.py:1448,1455) and the
+    # per-keyframe GDINO detect + SAM segment. Weights are random (no
+    # checkpoints in this env), so outputs are DISCARDED — poses/masks stay
+    # dataset-driven and SLAM behavior is identical to the default bench;
+    # only the honest compute+dispatch cost of perception is added.
+    perception = None
+    if os.environ.get("BENCH_PERCEPTION"):
+        import jax as _jax
+        import numpy as _np
+
+        from lvdgs_tpu.models.groundingdino.inference import GroundingDINODetector
+        from lvdgs_tpu.models.groundingdino.model import (
+            GroundingDINOConfig, init_params as _gdi)
+        from lvdgs_tpu.models.mast3r.inference import MASt3RInference
+        from lvdgs_tpu.models.mast3r.model import MASt3RConfig, init_params as _mi
+        from lvdgs_tpu.models.sam.inference import SAMSegmenter
+        from lvdgs_tpu.models.sam.model import SAMConfig, init_params as _si
+
+        log("perception mode: building production-size models (random weights)")
+        mast3r = MASt3RInference(_mi(_jax.random.PRNGKey(0), MASt3RConfig()),
+                                 MASt3RConfig())
+        gdino = GroundingDINODetector(_gdi(_jax.random.PRNGKey(1),
+                                           GroundingDINOConfig()))
+        sam = SAMSegmenter(_si(_jax.random.PRNGKey(2), SAMConfig()))
+        prompt = "car . truck . bus . person . bicycle . motorcycle ."
+
+        # host-side frame cache: real datasets feed from disk; the synthetic
+        # dataset lives on device and a full-frame fetch costs ~3 s through
+        # the relay, which would mis-charge data movement as perception
+        frames_np = {}
+
+        def _frame_u8(i):
+            if i not in frames_np:
+                img = _np.asarray(slam.dataset[i][0])  # (3, H, W) [0, 1]
+                frames_np[i] = (img, (img.transpose(1, 2, 0) * 255).astype(_np.uint8))
+            return frames_np[i]
+
+        def perception(i, is_kf):
+            imgf, imgu8 = _frame_u8(i)
+            prevf, _ = _frame_u8(max(i - 1, 0))
+            mast3r.infer_pair(prevf, imgf)  # get_pose parity (fwd #1)
+            mast3r.infer_pair(prevf, imgf)  # get_depth parity (fwd #2)
+            if is_kf:
+                boxes, _sc = gdino(imgu8, prompt, 0.35)
+                sam(imgu8, boxes[:4] if len(boxes) else
+                    _np.asarray([[8.0, 8.0, 128.0, 128.0]], _np.float32))
+
     # one untimed resume frame re-triggers every compile (cache-warm)
     warm_end = slam.frames_processed
     t0 = time.perf_counter()
     slam.process_frame(warm_end)
+    if perception is not None:
+        perception(warm_end, True)  # untimed warmup compiles the three nets
     log(f"resume frame (incl. compile-cache loads): {time.perf_counter() - t0:.1f}s")
     slam.timer = type(slam.timer)()  # clean per-phase stats for the timed region
 
     start_idx = warm_end + 1
+    if perception is not None:
+        for idx in range(start_idx, start_idx + TIMED_FRAMES):
+            _frame_u8(idx)  # pre-fetch host frames outside the timed region
     kf_before = len(slam.kf_indices)
     t0 = time.perf_counter()
     for idx in range(start_idx, start_idx + TIMED_FRAMES):
+        kfs = len(slam.kf_indices)
         slam.process_frame(idx)
+        if perception is not None:
+            perception(idx, len(slam.kf_indices) > kfs)
     # force completion: fetch a scalar (block_until_ready does not sync
     # through the TPU relay)
     float(slam.gmap.means[0, 0])
@@ -349,7 +406,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "kitti_res_synthetic_slam_fps",
+                "metric": "kitti_res_synthetic_slam_fps"
+                + ("_with_perception" if perception is not None else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(kfps / 3.0, 4),

@@ -1119,9 +1119,37 @@ class SLAM:
         from ..data.prefetch import PrefetchLoader
 
         loader = PrefetchLoader(self.dataset, depth=4, start=start, end=n)
+        # optional jax.profiler trace of the steady-state loop (SURVEY §5.1);
+        # bounded to profile_frames so traces stay loadable in TensorBoard
+        res = self.config.get("Results", {})
+        profile_dir = res.get("profile_dir")
+        profile_after = int(res.get("profile_after", 5))
+        profile_frames = int(res.get("profile_frames", 10))
+        profiling = False
+        # reference pacing: sleep so keyframes arrive at <= pace_kf_hz
+        # (utils/slam_frontend.py:1881-1885 caps at ~3/s); 0 disables. Only
+        # binds when the system runs FASTER than the cap.
+        pace_hz = float(self.config.get("Training", {}).get("pace_kf_hz", 0.0))
         t0 = time.perf_counter()
         for idx, sample in loader:
+            f_start = time.perf_counter()
+            kfs_before = len(self.kf_indices)
+            if profile_dir and not profiling and idx - start == profile_after:
+                import jax
+
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             self.process_frame(idx, sample)
+            if profiling and idx - start >= profile_after + profile_frames:
+                import jax
+
+                jax.profiler.stop_trace()
+                profiling = False
+                Log(f"profiler trace written to {profile_dir}")
+            if pace_hz > 0 and len(self.kf_indices) > kfs_before:
+                budget = 1.0 / pace_hz - (time.perf_counter() - f_start)
+                if budget > 0.01:
+                    time.sleep(budget)
             if progress and idx % 25 == 0:
                 Log(
                     f"frame {idx}/{n} kfs={len(self.kf_indices)} "
@@ -1129,6 +1157,10 @@ class SLAM:
                 )
             if checkpoint_every and (idx + 1) % checkpoint_every == 0:
                 self.save_state(os.path.join(self.save_dir, "checkpoint"))
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
         wall = time.perf_counter() - t0
         fps = n / wall
 

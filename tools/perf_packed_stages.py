@@ -84,26 +84,32 @@ def main():
     print(f"proj+gather fwd:    {ms:7.2f} ms")
     tp = gather_fn(p, active, pbins.gid)
 
-    @jax.jit
-    def kfwd(tp, cg, k0, tids):
-        return pallas_blend_packed(tp, cg, k0, jnp.zeros((1,), jnp.int32),
-                                   tids, ntx, nty, cfg.tile_size, TG,
-                                   n_groups, False)
+    import functools
 
-    ms = bench(kfwd, tp, pbins.cg, pbins.k0, pbins.tids)
-    print(f"packed kernel fwd:  {ms:7.2f} ms")
+    # kernel variants: nt (touched counts), bf16 weight math
+    for label, with_nt, bf16 in (("nt,f32 ", True, False),
+                                 ("nont,f32", False, False),
+                                 ("nont,bf16", False, True)):
+        @functools.partial(jax.jit, static_argnames=())
+        def kfwd(tp, cg, k0, tids, _wn=with_nt, _bf=bf16):
+            return pallas_blend_packed(tp, cg, k0, jnp.zeros((1,), jnp.int32),
+                                       tids, ntx, nty, cfg.tile_size, TG,
+                                       n_groups, False, _wn, _bf)
 
-    @jax.jit
-    def kfb(tp, cg, k0, tids):
-        def f(tp):
-            acc, trans, nt = pallas_blend_packed(
-                tp, cg, k0, jnp.zeros((1,), jnp.int32), tids, ntx, nty,
-                cfg.tile_size, TG, n_groups, False)
-            return acc.sum() + trans.sum()
-        return jax.grad(f)(tp)
+        ms = bench(kfwd, tp, pbins.cg, pbins.k0, pbins.tids)
+        print(f"packed kernel fwd [{label}]:  {ms:7.2f} ms")
 
-    ms = bench(kfb, tp, pbins.cg, pbins.k0, pbins.tids)
-    print(f"packed kernel f+b:  {ms:7.2f} ms")
+        @functools.partial(jax.jit, static_argnames=())
+        def kfb(tp, cg, k0, tids, _wn=with_nt, _bf=bf16):
+            def f(tp):
+                acc, trans, nt = pallas_blend_packed(
+                    tp, cg, k0, jnp.zeros((1,), jnp.int32), tids, ntx, nty,
+                    cfg.tile_size, TG, n_groups, False, _wn, _bf)
+                return acc.sum() + trans.sum()
+            return jax.grad(f)(tp)
+
+        ms = bench(kfb, tp, pbins.cg, pbins.k0, pbins.tids)
+        print(f"packed kernel f+b [{label}]:  {ms:7.2f} ms")
 
     @jax.jit
     def scatter_fn(gid, dtp):
