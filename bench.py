@@ -362,8 +362,10 @@ def main():
         def perception(i, is_kf):
             imgf, imgu8 = _frame_u8(i)
             prevf, _ = _frame_u8(max(i - 1, 0))
-            mast3r.infer_pair(prevf, imgf)  # get_pose parity (fwd #1)
-            mast3r.infer_pair(prevf, imgf)  # get_depth parity (fwd #2)
+            # fused pose+depth prior: ONE shared-encoder batch-2 forward
+            # replaces the reference's two sequential stereo forwards/frame
+            # (make_fused_priors; utils/slam_frontend.py:1448,1455)
+            mast3r.infer_fused(prevf, imgf)
             if is_kf:
                 boxes, _sc = gdino(imgu8, prompt, 0.35)
                 sam(imgu8, boxes[:4] if len(boxes) else

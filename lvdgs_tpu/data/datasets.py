@@ -300,7 +300,11 @@ def _street_scene(rng, scfg):
     gx = gx.ravel() + rng.normal(0, 0.05, gx.size)
     gz = gz.ravel() + rng.normal(0, 0.05, gx.size)
     gy = np.full_like(gx, 1.5) + 0.02 * np.sin(0.8 * gx) * np.sin(0.5 * gz)
-    base = 0.18 + 0.12 * _tex(gx, gz, 1.0)
+    # asphalt: multi-octave base + high-frequency speckle (the looming of
+    # ground texture is the dominant forward-motion signal)
+    base = (0.18 + 0.12 * _tex(gx, gz, 1.0)
+            + 0.06 * _tex(gx * 7.3, gz * 5.1, 4.0) - 0.03
+            + rng.normal(0, 0.02, gx.size))
     # dashed center line + solid side lines
     lane = ((np.abs(gx) < 0.15) & ((gz % 6.0) < 3.0)) | (
         np.abs(np.abs(gx) - 3.5) < 0.12
@@ -314,7 +318,8 @@ def _street_scene(rng, scfg):
     )
 
     # ---- building facades at x = +-half_w, windows + per-building tint
-    ys = np.arange(-4.5, 1.5 + 1e-6, sp)
+    # (3-4 stories tall so the skyline, not black void, bounds the image)
+    ys = np.arange(-9.0, 1.5 + 1e-6, sp)
     for side in (-1.0, 1.0):
         wy, wz = np.meshgrid(ys, zs)
         wy = wy.ravel() + rng.normal(0, 0.03, wy.size)
@@ -352,16 +357,29 @@ def _street_scene(rng, scfg):
             colors.append(np.stack([c, c, c * 0.9], 1))
             scales.append(np.tile(np.log([0.06, 0.14, 0.06]), (py.size, 1)))
 
-    # ---- far end wall (no empty sky at the vanishing point)
-    ex = np.arange(-3 * half_w, 3 * half_w, 1.0)
-    ey = np.arange(-12.0, 2.0, 1.0)
+    # ---- far backplane: building skyline at the vanishing point below the
+    # horizon, gradient sky with cloud texture above — fills the whole image
+    # beyond the corridor so no region renders to pure black (pure-black
+    # pixels fall outside valid_rgb and carry no tracking signal)
+    ex = np.arange(-6 * half_w, 6 * half_w, 0.8)
+    ey = np.arange(-45.0, 2.0, 0.8)
     mx, my = np.meshgrid(ex, ey)
     mx, my = mx.ravel(), my.ravel()
     mz = np.full_like(mx, z_max + 5.0)
-    c = 0.5 + 0.3 * _tex(mx * 0.2, my * 0.2, 13.0)
+    sky = my < -8.0  # above the skyline
+    c = 0.45 + 0.3 * _tex(mx * 0.3, my * 0.3, 13.0)
+    wall_col = np.stack([c * 0.75, c * 0.8, c * 0.85], 1)
+    # sky: brightness gradient toward zenith + low-frequency cloud mottling
+    elev = np.clip((-my - 8.0) / 37.0, 0.0, 1.0)
+    cloud = 0.12 * _tex(mx * 0.08, my * 0.15, 21.0)
+    sky_col = np.stack(
+        [0.55 + 0.15 * elev + cloud,
+         0.65 + 0.15 * elev + cloud,
+         0.85 + 0.10 * elev + 0.5 * cloud], 1)
+    col = np.where(sky[:, None], sky_col, wall_col)
     means.append(np.stack([mx, my, mz], 1))
-    colors.append(np.stack([c * 0.7, c * 0.8, c], 1))
-    scales.append(np.tile(np.log([0.8, 0.8, 0.05]), (mx.size, 1)))
+    colors.append(np.clip(col, 0.0, 1.0))
+    scales.append(np.tile(np.log([0.7, 0.7, 0.05]), (mx.size, 1)))
 
     means = np.concatenate(means).astype(np.float32)
     colors = np.concatenate(colors).astype(np.float32)
@@ -458,11 +476,23 @@ class SyntheticDataset:
         )
         self._rasterize = rasterize
 
-        # smooth forward + lateral trajectory (w2c poses)
+        # smooth forward + lateral trajectory (w2c poses). `accel_frames`
+        # ramps the forward speed linearly from rest (a vehicle pulling
+        # away): without a pose prior (no MASt3R weights in the bench env)
+        # tracking seeds from constant velocity, which absorbs steady speed
+        # exactly but must recover each frame's VELOCITY CHANGE
+        # photometrically — an instant 0.5 m/frame start is outside the
+        # convergence basin (probe: frame-1 track fell into the
+        # camera-drops-toward-ground local minimum and never recovered),
+        # while the ramp's ~step/accel_frames per-frame change is a few px
         step = scfg.get("step", 0.06)
+        accel_frames = scfg.get("accel_frames", 0)
         self.poses = []
+        zpos = 0.0
         for i in range(self.num_imgs):
-            t = np.array([0.3 * np.sin(i * 0.15), 0.05 * np.sin(i * 0.08), -step * i])
+            v = step * min(1.0, i / accel_frames) if accel_frames else step
+            zpos += v
+            t = np.array([0.3 * np.sin(i * 0.15), 0.05 * np.sin(i * 0.08), -zpos])
             ang = 0.02 * np.sin(i * 0.1)
             R = np.array(
                 [

@@ -32,7 +32,7 @@ except Exception:  # pragma: no cover
 
 from ...core.camera import Intrinsics
 from ...ops.rasterizer import RenderConfig, rasterize
-from .model import MASt3RConfig, mast3r_forward
+from .model import MASt3RConfig, mast3r_forward, mast3r_forward_fused
 from .matching import fast_reciprocal_nns
 
 
@@ -84,6 +84,19 @@ class MASt3RInference:
         )
         return pred1, pred2, shape
 
+    def infer_fused(self, img_kf: np.ndarray, img_cur: np.ndarray):
+        """One fused forward for the per-frame (pose, depth) prior pair —
+        replaces the reference's two sequential stereo forwards per tracked
+        frame (utils/slam_frontend.py:1448,1455) with one shared-encoder
+        batch-2 program (model.mast3r_forward_fused). Returns
+        (pose_pred1, pose_pred2, depth_pred1, (H', W'))."""
+        p1, shape = preprocess_image(img_kf, self.size)
+        p2, _ = preprocess_image(img_cur, self.size)
+        pose1, pose2, depth1 = mast3r_forward_fused(
+            self.params, jnp.asarray(p1)[None], jnp.asarray(p2)[None], self.cfg
+        )
+        return pose1, pose2, depth1, shape
+
 
 def depth_to_3d(depth_map: np.ndarray, K: np.ndarray, dist_coeffs: np.ndarray):
     """Distortion-aware unprojection (reference utils/init_pose.py:77-111)."""
@@ -115,6 +128,18 @@ def get_pose(
     """Relative w2c pose of img2 w.r.t. img1's keyframe via matching + PnP
     (reference get_pose :123-186). Returns (pose_w2c (4,4), render_depth)."""
     pred1, pred2, (H1, W1) = model.infer_pair(img1, img2)
+    return _pose_from_preds(
+        pred1, pred2, (H1, W1), intr, dist_coeffs, gmap,
+        last_kf_R, last_kf_T, rcfg,
+    )
+
+
+def _pose_from_preds(
+    pred1, pred2, shape, intr, dist_coeffs, gmap, last_kf_R, last_kf_T, rcfg
+):
+    """Matching + rendered-depth unprojection + PnP-RANSAC on precomputed
+    MASt3R pair predictions (the tail of reference get_pose :133-186)."""
+    H1, W1 = shape
     m1, m2 = fast_reciprocal_nns(pred1["desc"][0], pred2["desc"][0])
 
     sub_intr = intr.scaled(W1, H1)
@@ -207,6 +232,83 @@ def make_depth_prior(model: MASt3RInference, intr: Intrinsics):
     return depth_prior
 
 
+def make_fused_priors(model: MASt3RInference, intr: Intrinsics,
+                      dist_coeffs=None):
+    """(depth_prior, pose_prior) sharing ONE fused MASt3R forward per frame.
+
+    The reference pays two sequential ViT-L stereo forwards per tracked
+    frame — get_pose on (last_kf, cur) then get_depth on (cur, cur)
+    (utils/slam_frontend.py:1448,1455). The SLAM loop calls depth_prior
+    first (camera build) and pose_prior second (seed) within the same
+    frame, so depth_prior runs the fused batch-2 program
+    (MASt3RInference.infer_fused: both calls' compute, encoder shared) and
+    caches the pose-pair predictions; pose_prior consumes the cache and
+    only falls back to a fresh get_pose when the cache doesn't match its
+    keyframe (e.g. window change between the two calls).
+
+    The depth_prior closure is marked `wants_kf = True`: SLAM passes
+    `last_kf_cam=` so the fused pair is available (see
+    SLAM._mono_depth_for); plain make_depth_prior closures keep the bare
+    (image) signature."""
+    dist = np.zeros(5) if dist_coeffs is None else np.asarray(dist_coeffs)
+    cache: dict = {}
+
+    def depth_prior(image, last_kf_cam=None) -> np.ndarray:
+        img = np.asarray(image)
+        if last_kf_cam is None:
+            cache.clear()
+            return get_depth(model, img, (intr.height, intr.width))
+        pose1, pose2, depth1, shape = model.infer_fused(
+            np.asarray(last_kf_cam.image), img
+        )
+        cache["kf_uid"] = int(last_kf_cam.uid)
+        cache["preds"] = (pose1, pose2, shape)
+        z = np.asarray(depth1["pts3d"][0, ..., 2])
+        H, W = intr.height, intr.width
+        if cv2 is not None:
+            return cv2.resize(z, (W, H), interpolation=cv2.INTER_NEAREST)
+        return np.asarray(jax.image.resize(jnp.asarray(z), (H, W), "nearest"))
+
+    depth_prior.wants_kf = True
+
+    def pose_prior(cam, last_kf_cam, slam):
+        if last_kf_cam is None:
+            return None
+        if cache.get("kf_uid") == int(last_kf_cam.uid):
+            pred1, pred2, shape = cache.pop("preds")
+            cache.clear()
+            rel, _ = _pose_from_preds(
+                pred1, pred2, shape, intr, dist, slam.gmap,
+                np.asarray(last_kf_cam.R), np.asarray(last_kf_cam.T),
+                slam.rcfg,
+            )
+        else:
+            rel, _ = get_pose(
+                model, np.asarray(last_kf_cam.image), np.asarray(cam.image),
+                intr, dist, slam.gmap,
+                np.asarray(last_kf_cam.R), np.asarray(last_kf_cam.T),
+                slam.rcfg,
+            )
+        return _compose_seed(rel, cam, last_kf_cam, slam)
+
+    return depth_prior, pose_prior
+
+
+def _compose_seed(rel, cam, last_kf_cam, slam):
+    """Compose a PnP relative pose onto the estimated keyframe pose, with
+    the reference's previous-frame fallback on PnP failure
+    (utils/slam_frontend.py:1460-1465)."""
+    pose_last = np.eye(4)
+    pose_last[:3, :3] = np.asarray(last_kf_cam.R)
+    pose_last[:3, 3] = np.asarray(last_kf_cam.T)
+    if np.allclose(rel, np.eye(4), atol=1e-6):
+        prev = slam.frames.get(int(cam.uid) - 1)
+        if prev is not None:
+            return prev["R"], prev["T"]
+    seed = rel @ pose_last
+    return seed[:3, :3], seed[:3, 3]
+
+
 def make_pose_prior(model: MASt3RInference, intr: Intrinsics, dist_coeffs=None):
     dist = np.zeros(5) if dist_coeffs is None else np.asarray(dist_coeffs)
 
@@ -224,16 +326,6 @@ def make_pose_prior(model: MASt3RInference, intr: Intrinsics, dist_coeffs=None):
             np.asarray(last_kf_cam.T),
             slam.rcfg,
         )
-        pose_last = np.eye(4)
-        pose_last[:3, :3] = np.asarray(last_kf_cam.R)
-        pose_last[:3, 3] = np.asarray(last_kf_cam.T)
-        if np.allclose(rel, np.eye(4), atol=1e-6):
-            # PnP failure: fall back to the previous frame's pose
-            # (reference utils/slam_frontend.py:1460-1462)
-            prev = slam.frames.get(int(cam.uid) - 1)
-            if prev is not None:
-                return prev["R"], prev["T"]
-        seed = rel @ pose_last
-        return seed[:3, :3], seed[:3, 3]
+        return _compose_seed(rel, cam, last_kf_cam, slam)
 
     return pose_prior

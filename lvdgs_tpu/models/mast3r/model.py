@@ -164,6 +164,40 @@ def _head(outs, grid_hw, hp, cfg: MASt3RConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def mast3r_forward_fused(params, img_kf, img_cur, cfg: MASt3RConfig):
+    """Fused per-frame forward: BOTH of the reference frontend's per-tracked-
+    frame MASt3R calls in one program — get_pose's (last_kf, cur) pair and
+    get_depth's (cur, cur) pair (utils/slam_frontend.py:1448,1455 run these
+    as two sequential stereo forwards, i.e. 4 encoder passes). Here the two
+    images are encoded ONCE (one batch-2 encoder pass instead of four
+    single-image ones) and the asymmetric decoder + heads run the two pairs
+    as one batch-2 pass — larger MXU batches, half the encoder FLOPs, one
+    dispatch.
+
+    Returns (pred1_pose, pred2_pose, pred1_depth): pose preds are views of
+    the (kf, cur) pair (feed to matching + PnP), depth pred is view 1 of the
+    (cur, cur) pair (pointmap z = mono depth, reference get_depth
+    utils/init_pose.py:189-208)."""
+    ps = cfg.patch_size
+    H, W = img_kf.shape[-2:]
+    grid_hw = (H // ps, W // ps)
+    both = jnp.concatenate([img_kf, img_cur], axis=0)
+    tokens, pos = _encode(both, params, cfg)  # pos is (N, 2), batch-free
+    B = img_kf.shape[0]
+    f_kf, f_cur = tokens[:B], tokens[B:]
+    # pair batch: row 0 = (kf, cur) pose pair, row 1 = (cur, cur) depth pair
+    f1 = jnp.concatenate([f_kf, f_cur], axis=0)
+    f2 = jnp.concatenate([f_cur, f_cur], axis=0)
+    outs1, outs2 = _decode(f1, pos, f2, pos, params, cfg)
+    pred1 = _head(outs1, grid_hw, params["head1"], cfg)
+    pred2 = _head(outs2, grid_hw, params["head2"], cfg)
+    pose1 = {k: v[:B] for k, v in pred1.items()}
+    pose2 = {k: v[:B] for k, v in pred2.items()}
+    depth1 = {k: v[B:] for k, v in pred1.items()}
+    return pose1, pose2, depth1
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def mast3r_forward(params, img1, img2, cfg: MASt3RConfig):
     """img1, img2: (B, 3, H, W) normalised to [-1, 1] (ImgNorm 0.5/0.5).
 

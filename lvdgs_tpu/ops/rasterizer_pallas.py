@@ -439,11 +439,12 @@ def _make_packed_fwd_kernel(tile_group: int, ntx: int, ts: int,
                         bt(-0.5) * (cab * dx * dx + ccb * dy * dy)
                         - cbb * dx * dy
                     )
-                    raw = op.astype(bt) * jnp.exp(power)
-                    ok = (power <= bt(0.0)) & (raw >= bt(ALPHA_MIN))
-                    alpha = jnp.where(
-                        ok, jnp.minimum(bt(ALPHA_MAX), raw), bt(0.0)
-                    ).astype(jnp.float32)
+                    raw = (op.astype(bt) * jnp.exp(power)).astype(jnp.float32)
+                    # compare in f32: Mosaic v5e has no vector bf16 cmpf,
+                    # and alpha is widened to f32 here anyway
+                    p32 = power.astype(jnp.float32)
+                    ok = (p32 <= 0.0) & (raw >= ALPHA_MIN)
+                    alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
                 else:
                     dx = px - mx
                     dy = py - my
@@ -543,13 +544,12 @@ def _make_packed_bwd_kernel(tile_group: int, ntx: int, ts: int,
                         - cbb * dxb * dyb
                     )
                     Gb = jnp.exp(powerb)
-                    rawb = op.astype(bt) * Gb
-                    ok = (powerb <= bt(0.0)) & (rawb >= bt(ALPHA_MIN))
-                    alpha = jnp.where(
-                        ok, jnp.minimum(bt(ALPHA_MAX), rawb), bt(0.0)
-                    ).astype(jnp.float32)
                     G = Gb.astype(jnp.float32)
-                    raw = rawb.astype(jnp.float32)
+                    raw = (op.astype(bt) * Gb).astype(jnp.float32)
+                    # f32 compares: Mosaic v5e has no vector bf16 cmpf
+                    p32 = powerb.astype(jnp.float32)
+                    ok = (p32 <= 0.0) & (raw >= ALPHA_MIN)
+                    alpha = jnp.where(ok, jnp.minimum(ALPHA_MAX, raw), 0.0)
                     dx = dxb.astype(jnp.float32)
                     dy = dyb.astype(jnp.float32)
                 else:

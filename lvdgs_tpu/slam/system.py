@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import lie
 from ..core.camera import Camera, Intrinsics
 from ..core.config import DotDict
 from ..core.log import Log, PhaseTimer
@@ -266,6 +267,10 @@ class SLAM:
         self.adaptive_pointsize = ds_cfg.get("adaptive_pointsize", True)
         self.depth_cfg = config.get("depth", {})
         self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
+        # sim_prior: MASt3R-PnP-class pose-prior emulation (see _pose_seed)
+        self.sim_prior_trans_noise = tr.get("sim_prior_trans_noise", 0.02)
+        self.sim_prior_rot_noise_deg = tr.get("sim_prior_rot_noise_deg", 0.2)
+        self._map_scale_obs: Optional[float] = None  # see _map_scale_estimate
         self.mono_depth_source = ds_cfg.get("mono_depth_source", "dataset")
 
         res = config.get("Results", {})
@@ -415,6 +420,18 @@ class SLAM:
         """The reference gets mono depth from MASt3R every frame
         (utils/slam_frontend.py:1455); source is pluggable here."""
         if self.depth_prior is not None:
+            if getattr(self.depth_prior, "wants_kf", False):
+                # fused MASt3R prior (make_fused_priors): hand it the last
+                # keyframe so one batch-2 forward serves both this mono
+                # depth AND the pose seed's pair predictions
+                last_kf_cam = (
+                    self._cams.get(self.current_window[0])
+                    if self.current_window else None
+                )
+                return jnp.asarray(
+                    self.depth_prior(image, last_kf_cam=last_kf_cam),
+                    jnp.float32,
+                )
             return jnp.asarray(self.depth_prior(image), jnp.float32)
         if self.mono_depth_source == "gt" and dataset_depth is not None:
             return jnp.asarray(dataset_depth, jnp.float32)
@@ -450,6 +467,46 @@ class SLAM:
             )
         return cam
 
+    def _map_scale_estimate(self) -> float:
+        """Map scale relative to GT, for the `sim_prior` pose-seed emulation
+        (synthetic benches) to express the simulated PnP prior in map scale,
+        as the real PnP-vs-rendered-depth prior naturally is.
+
+        Primary source: the per-keyframe rendered-depth / GT-depth median
+        ratio observed at keyframe creation (_observe_map_scale) — a direct,
+        feedback-free measurement of the same quantity the real PnP sees
+        (its 3D points are unprojected RENDERED depth, utils/
+        init_pose.py:145). The earlier estimated/GT camera-baseline ratio is
+        kept only as a fallback before the first keyframe observation; as a
+        primary source it was unstable — tracking's under-recovered
+        translations shrink estimated baselines, which shrink the next
+        prior's translations, a positive feedback loop (street bench: scale
+        drifted 0.8 -> 0.67, ATE 8.7 m)."""
+        if self._map_scale_obs is not None:
+            return self._map_scale_obs
+        kfs = self.kf_indices[-6:]
+        ratios = []
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            fa, fb = self.frames[a], self.frames[b]
+            ca = -np.asarray(fa["R"]).T @ np.asarray(fa["T"])
+            cb = -np.asarray(fb["R"]).T @ np.asarray(fb["T"])
+            ga = -np.asarray(fa["R_gt"]).T @ np.asarray(fa["T_gt"])
+            gb = -np.asarray(fb["R_gt"]).T @ np.asarray(fb["T_gt"])
+            g = float(np.linalg.norm(ga - gb))
+            if g > 1e-6:
+                ratios.append(float(np.linalg.norm(ca - cb)) / g)
+        return float(np.median(ratios)) if ratios else 1.0
+
+    def _observe_map_scale(self, render_depth, cam: Camera) -> None:
+        """sim_prior only: record median(rendered depth / GT depth) at a new
+        keyframe — the map's metric scale as the real PnP prior experiences
+        it. One host fetch per keyframe, gated off the per-frame hot path."""
+        rd = np.asarray(render_depth)
+        gd = np.asarray(cam.depth)
+        ok = (rd > 0.1) & (gd > 0.1) & np.isfinite(rd) & np.isfinite(gd)
+        if ok.sum() >= 100:
+            self._map_scale_obs = float(np.median(rd[ok] / gd[ok]))
+
     def _pose_seed(self, idx: int, cam: Camera) -> Camera:
         if self.pose_prior is not None:
             last_kf_idx = self.current_window[0]
@@ -461,6 +518,52 @@ class SLAM:
         mode = self.pose_seed_mode
         if mode == "gt":
             return cam.update_RT(cam.R_gt, cam.T_gt)
+        if mode == "sim_prior":
+            # Simulated MASt3R-PnP pose prior: the reference NEVER tracks
+            # from a motion-model seed — every frame gets
+            # rel_pose(last_kf -> cur) from descriptor matching + rendered
+            # depth + PnP-RANSAC, composed onto the ESTIMATED last-keyframe
+            # pose (utils/slam_frontend.py:1448,1457-1465;
+            # utils/init_pose.py:123-186). With no MASt3R checkpoint in
+            # this environment, emulate that prior's output: the GT
+            # relative pose from the last keyframe, perturbed by a
+            # PnP-class se(3) error (defaults 2 cm / 0.2 deg; deterministic
+            # per frame). Photometric tracking then polishes it — the
+            # reference's actual operating regime. Synthetic-data only.
+            kf_idx = self.current_window[0] if self.current_window else 0
+            kf = self.frames.get(kf_idx)
+            if kf is not None:
+                R_rel = np.asarray(cam.R_gt) @ np.asarray(kf["R_gt"]).T
+                T_rel = np.asarray(cam.T_gt) - R_rel @ np.asarray(kf["T_gt"])
+                # The real prior's PnP solves against RENDERED map depth
+                # (utils/init_pose.py:145), so its translation arrives in
+                # MAP scale — and the monocular map is born at the mono
+                # prior's scale (init seeds from mono depth,
+                # _fused_keyframe_depth). Injecting metric-scale T_rel into
+                # a non-metric map makes the trajectory non-uniformly
+                # scaled (Umeyama cannot correct it; measured 7.3 m vs
+                # 2.5 m ATE on the street bench). Scale the GT relative
+                # translation into map scale via the estimated/GT keyframe
+                # baseline ratio.
+                T_rel = self._map_scale_estimate() * T_rel
+                rng = np.random.default_rng(917 + idx)
+                tau = np.concatenate([
+                    rng.normal(size=3) * self.sim_prior_trans_noise,
+                    rng.normal(size=3)
+                    * np.radians(self.sim_prior_rot_noise_deg),
+                ]).astype(np.float32)
+                Rn, Tn = lie.apply_delta(
+                    jnp.asarray(R_rel, jnp.float32),
+                    jnp.asarray(T_rel, jnp.float32),
+                    jnp.asarray(tau),
+                )
+                Rn, Tn = np.asarray(Rn), np.asarray(Tn)
+                R_seed = Rn @ np.asarray(kf["R"])
+                T_seed = Rn @ np.asarray(kf["T"]) + Tn
+                return cam.update_RT(
+                    jnp.asarray(R_seed, jnp.float32),
+                    jnp.asarray(T_seed, jnp.float32),
+                )
         prev = self.frames.get(idx - 1)
         if prev is None:
             return cam
@@ -869,6 +972,8 @@ class SLAM:
             self.masker.save_keyframe_overlay(cam.image, cam.static_mask, idx)
 
         self.timer.tic("kf_fusion")
+        if self.pose_seed_mode == "sim_prior":
+            self._observe_map_scale(track_res.depth[0], cam)
         depth, cam = self._fused_keyframe_depth(
             idx, cam, track_res.depth[0], track_res.opacity[0], init=False
         )

@@ -65,17 +65,20 @@ def main():
     ckpt = m_cfg.get("checkpoint")
     if ckpt and os.path.exists(ckpt):
         from lvdgs_tpu.models.mast3r.inference import (
-            MASt3RInference, make_depth_prior, make_pose_prior,
-            make_scale_remedy,
+            MASt3RInference, make_fused_priors, make_scale_remedy,
         )
         from lvdgs_tpu.data.datasets import load_dataset
 
         model = MASt3RInference.from_checkpoint(ckpt)
         ds = load_dataset(None, "", config)
-        pose_prior = make_pose_prior(model, ds.intrinsics, ds.dist_coeffs)
-        depth_prior = make_depth_prior(model, ds.intrinsics)
+        # fused: one shared-encoder batch-2 forward per tracked frame serves
+        # both priors (vs the reference's two sequential stereo forwards,
+        # utils/slam_frontend.py:1448,1455)
+        depth_prior, pose_prior = make_fused_priors(
+            model, ds.intrinsics, ds.dist_coeffs
+        )
         scale_remedy = make_scale_remedy(model)
-        Log(f"MASt3R priors enabled from {ckpt}")
+        Log(f"MASt3R fused priors enabled from {ckpt}")
 
     slam = SLAM(config, save_dir=save_dir, masker=masker,
                 pose_prior=pose_prior, depth_prior=depth_prior,

@@ -156,3 +156,35 @@ def test_packed_renderer_e2e(tmp_path):
 
     assert res["n_frames"] == 8
     assert np.isfinite(res["ate_rmse"])
+
+def test_sim_prior_pose_seed(tmp_path):
+    """sim_prior emulates the reference's MASt3R-PnP pose prior (get_pose,
+    utils/slam_frontend.py:1448): GT relative pose from the last keyframe +
+    PnP-class noise, composed onto the ESTIMATED keyframe pose. Tracking
+    only needs to polish it, so per-frame camera-center error stays at the
+    few-cm level even with a short budget."""
+    config = load_config(CFG_PATH)
+    config["Dataset"]["n_frames"] = 8
+    config["Training"].update({
+        "pose_seed": "sim_prior",
+        "sim_prior_trans_noise": 0.01,
+        "sim_prior_rot_noise_deg": 0.1,
+        "init_itr_num": 200,
+        "mapping_itr_num": 20,
+        "tracking_itr_num": 30,
+    })
+    config["Results"].update({
+        "save_results": False, "eval_rendering": False,
+        "color_refinement": False,
+    })
+    slam = SLAM(config, save_dir=None)
+    for i in range(8):
+        slam.process_frame(i)
+    errs = []
+    for i in range(8):
+        f = slam.frames[i]
+        c_est = -np.asarray(f["R"]).T @ np.asarray(f["T"])
+        c_gt = -np.asarray(f["R_gt"]).T @ np.asarray(f["T_gt"])
+        errs.append(float(np.linalg.norm(c_est - c_gt)))
+    assert all(np.isfinite(errs)), errs
+    assert max(errs) < 0.25, errs

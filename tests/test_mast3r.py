@@ -177,3 +177,85 @@ def test_convert_roundtrip_tiny():
     b1, b2 = mast3r_forward(converted, img, img, cfg)
     np.testing.assert_allclose(np.asarray(a1["pts3d"]), np.asarray(b1["pts3d"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a2["desc"]), np.asarray(b2["desc"]), atol=1e-5)
+
+
+def test_fused_forward_matches_two_calls():
+    """mast3r_forward_fused must reproduce BOTH single-pair calls it fuses:
+    pose preds == mast3r_forward(kf, cur), depth pred == view 1 of
+    mast3r_forward(cur, cur) (the reference's two per-frame forwards,
+    utils/slam_frontend.py:1448,1455)."""
+    from lvdgs_tpu.models.mast3r.model import mast3r_forward_fused
+
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 32, 48))
+    cur = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 48))
+
+    pose1, pose2, depth1 = mast3r_forward_fused(params, kf, cur, cfg)
+    ref_p1, ref_p2 = mast3r_forward(params, kf, cur, cfg)
+    ref_d1, _ = mast3r_forward(params, cur, cur, cfg)
+
+    for k in ("pts3d", "conf", "desc", "desc_conf"):
+        np.testing.assert_allclose(
+            np.asarray(pose1[k]), np.asarray(ref_p1[k]), atol=2e-5,
+            err_msg=f"pose pred1 {k}")
+        np.testing.assert_allclose(
+            np.asarray(pose2[k]), np.asarray(ref_p2[k]), atol=2e-5,
+            err_msg=f"pose pred2 {k}")
+        np.testing.assert_allclose(
+            np.asarray(depth1[k]), np.asarray(ref_d1[k]), atol=2e-5,
+            err_msg=f"depth pred1 {k}")
+
+
+def test_fused_priors_cache_flow():
+    """make_fused_priors: depth_prior(image, last_kf_cam=...) runs the fused
+    forward and caches the pose pair; pose_prior consumes the cache (no
+    second forward) and composes onto the estimated keyframe pose."""
+    from lvdgs_tpu.core.camera import Intrinsics
+    from lvdgs_tpu.models.mast3r.inference import (
+        MASt3RInference, make_fused_priors)
+
+    cfg = TINY
+    model = MASt3RInference(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                            size=48)
+    calls = {"fused": 0, "pair": 0}
+    orig_fused, orig_pair = model.infer_fused, model.infer_pair
+
+    def counting_fused(a, b):
+        calls["fused"] += 1
+        return orig_fused(a, b)
+
+    def counting_pair(a, b):
+        calls["pair"] += 1
+        return orig_pair(a, b)
+
+    model.infer_fused = counting_fused
+    model.infer_pair = counting_pair
+
+    intr = Intrinsics(40.0, 40.0, 24.0, 16.0, 48, 32)
+    depth_prior, pose_prior = make_fused_priors(model, intr)
+    assert getattr(depth_prior, "wants_kf", False)
+
+    img = np.random.default_rng(0).random((3, 32, 48), np.float32)
+
+    class FakeCam:
+        uid = 7
+        image = img
+        R = np.eye(3, dtype=np.float32)
+        T = np.zeros(3, np.float32)
+
+    class FakeMap:
+        def params(self):
+            raise AssertionError("PnP path should not render: <6 matches "
+                                 "on random descriptors returns identity "
+                                 "before rasterize")
+
+    # no keyframe yet: plain get_depth path (one pair forward)
+    d0 = depth_prior(img)
+    assert d0.shape == (32, 48) and np.isfinite(d0).all()
+    assert calls == {"fused": 0, "pair": 1}
+
+    # with a keyframe: fused forward, cache set
+    d1 = depth_prior(img, last_kf_cam=FakeCam())
+    assert d1.shape == (32, 48) and np.isfinite(d1).all()
+    assert calls == {"fused": 1, "pair": 1}

@@ -78,6 +78,19 @@ def probe_mast3r(report):
     print(f"mast3r ViT-L 512px stereo pair: {best*1000:.1f} ms "
           f"(compile+first {compile_s:.1f}s)", flush=True)
 
+    # fused per-frame prior: one shared-encoder batch-2 program instead of
+    # the reference's two sequential stereo forwards (make_fused_priors)
+    t0 = time.perf_counter()
+    pose1, _p2, _d1, _shape = model.infer_fused(img1, img2)
+    _sync(pose1["pts3d"])
+    fused_compile_s = time.perf_counter() - t0
+    best_f = _time_call(lambda: model.infer_fused(img1, img2)[0]["pts3d"])
+    report["mast3r_vitl_fused_frame_ms"] = round(best_f * 1000, 1)
+    report["mast3r_fused_compile_s"] = round(fused_compile_s, 1)
+    print(f"mast3r ViT-L 512px FUSED pose+depth frame: {best_f*1000:.1f} ms "
+          f"vs 2x pair {2*best*1000:.1f} ms "
+          f"(compile+first {fused_compile_s:.1f}s)", flush=True)
+
 
 def probe_gdino(report):
     import jax

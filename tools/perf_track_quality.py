@@ -25,7 +25,7 @@ def main():
     from bench import build_config, make_slam
     from lvdgs_tpu.core import lie
     from lvdgs_tpu.slam.state import camera_from_slot
-    from lvdgs_tpu.slam.tracking import track_camera
+    from lvdgs_tpu.slam.tracking import track_camera, track_camera_pyramid
 
     config = build_config()
     slam = make_slam(config)
@@ -36,25 +36,33 @@ def main():
     p = slam.gmap.params()
     active = slam.gmap.active
 
-    results = {}
-    for name, cfg in (
-        ("dense", dataclasses.replace(slam.rcfg, use_packed=False)),
+    fb = dict(use_packed=True, saturation_feedback=True)
+    variants = (
+        ("dense", dataclasses.replace(slam.rcfg, use_packed=False), False),
         ("packed128", dataclasses.replace(slam.rcfg, use_packed=True,
-                                          slot_budget_per_tile=128)),
+                                          slot_budget_per_tile=128), False),
         ("packed192", dataclasses.replace(slam.rcfg, use_packed=True,
-                                          slot_budget_per_tile=192)),
-        ("fb128", dataclasses.replace(slam.rcfg, use_packed=True,
-                                      slot_budget_per_tile=128,
-                                      saturation_feedback=True)),
-        ("fb96", dataclasses.replace(slam.rcfg, use_packed=True,
-                                     slot_budget_per_tile=96,
-                                     saturation_feedback=True)),
-        ("fb96_bf16", dataclasses.replace(slam.rcfg, use_packed=True,
-                                          slot_budget_per_tile=96,
-                                          saturation_feedback=True,
-                                          blend_bf16=True)),
-    ):
-        errs_r, errs_t, iters = [], [], []
+                                          slot_budget_per_tile=192), False),
+        ("fb128", dataclasses.replace(slam.rcfg, slot_budget_per_tile=128,
+                                      **fb), False),
+        ("fb96", dataclasses.replace(slam.rcfg, slot_budget_per_tile=96,
+                                     **fb), False),
+        ("fb96_bf16", dataclasses.replace(slam.rcfg, slot_budget_per_tile=96,
+                                          blend_bf16=True, **fb), False),
+        ("fb96_pyr", dataclasses.replace(slam.rcfg, slot_budget_per_tile=96,
+                                         **fb), True),
+        ("fb96_pyr_bf16", dataclasses.replace(
+            slam.rcfg, slot_budget_per_tile=96, blend_bf16=True, **fb), True),
+    )
+    only = set(sys.argv[1:])
+
+    results = {}
+    for name, cfg, pyramid in variants:
+        if only and name not in only:
+            continue
+        fn = track_camera_pyramid if pyramid else track_camera
+        tcfg = dataclasses.replace(slam.tcfg, pyramid=pyramid)
+        errs_r, errs_t, iters, walls = [], [], [], []
         for trial, kf in enumerate(slam.current_window[:3]):
             slot = slam.kf_slots[kf]
             cam = camera_from_slot(slam.kfbuf, slot)
@@ -66,17 +74,26 @@ def main():
             )  # 5 cm / ~0.6 deg perturbation
             Rp, Tp = lie.apply_delta(R0, T0, tau)
             cam_p = cam.update_RT(Rp, Tp)
-            res = track_camera(p, active, cam_p, intr, cfg, slam.tcfg)
-            dR = np.asarray(res.R) @ np.asarray(R0).T
+            res = fn(p, active, cam_p, intr, cfg, tcfg)
+            dR = np.asarray(res.R) @ np.asarray(R0).T  # fetch = device sync
+            # timed re-run from the same seed (first run paid the compile);
+            # block_until_ready does NOT sync through the relay tunnel, so
+            # time-to-fetched-scalar is the honest wall
+            t0 = time.perf_counter()
+            res2 = fn(p, active, cam_p, intr, cfg, tcfg)
+            n_it = int(res2.iterations)
+            walls.append(time.perf_counter() - t0)
             ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
             dt = np.linalg.norm(np.asarray(res.T) - np.asarray(dR @ T0))
             errs_r.append(ang)
             errs_t.append(dt)
-            iters.append(int(res.iterations))
-        results[name] = (np.mean(errs_r), np.mean(errs_t), iters)
+            iters.append(n_it)
+        results[name] = (np.mean(errs_r), np.mean(errs_t), iters, walls)
         print(
             f"{name}: rot err {np.degrees(np.mean(errs_r)):.4f} deg, "
-            f"trans err {np.mean(errs_t)*100:.3f} cm, iters {iters}"
+            f"trans err {np.mean(errs_t)*100:.3f} cm, iters {iters}, "
+            f"wall {[f'{w*1e3:.0f}' for w in walls]} ms",
+            flush=True,
         )
 
 

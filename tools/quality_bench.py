@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Quality benchmark: full SLAM on the textured street scene, reporting the
+reference-comparable metric pair — final trajectory ATE RMSE and rendering
+PSNR/SSIM/LPIPS (full-image), exactly the numbers the reference's
+eval_utils_0806.py computes for KITTI runs (VERDICT r2 #4).
+
+The scene is the real-data-faithful synthetic street (lvdgs_tpu/data/
+datasets.py:_street_scene): KITTI camera geometry and depth range, textured
+surfaces, per-frame exposure jitter + sensor noise (the tracker's exposure
+affine must absorb it), and a mono-depth prior with a 0.8x global scale
+error + noise (the patch-based scale alignment must recover it). Poses are
+estimated from constant-velocity seeds — ground truth is used only by the
+final evaluation.
+
+Writes results/quality_bench.json and prints one JSON line:
+  {"ate_rmse_m": ..., "psnr_db": ..., "ssim": ..., "lpips": ...,
+   "fps": ..., "n_frames": ..., "n_keyframes": ...}
+
+Run: python tools/quality_bench.py [--frames 90] [--refine 2000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def build_config(n_frames: int, refine_iters: int):
+    from lvdgs_tpu.core.config import load_config
+
+    cfg = load_config(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "mono", "synthetic", "street.yaml",
+        )
+    )
+    cfg["Dataset"]["n_frames"] = n_frames
+    cfg["Results"]["color_refinement_iters"] = refine_iters
+    cfg["Results"]["color_refinement"] = refine_iters > 0
+    return cfg
+
+
+def _center(f):
+    """w2c (R_gt, T_gt) -> camera center."""
+    import numpy as np
+
+    return -np.asarray(f["R_gt"]).T @ np.asarray(f["T_gt"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=90)
+    ap.add_argument("--refine", type=int, default=2000,
+                    help="color refinement iterations before eval (0 = off)")
+    ap.add_argument("--eval-frames", type=int, default=40,
+                    help="cap on frames scored by eval_rendering")
+    ap.add_argument("--seed-mode", default=None,
+                    help="override Training.pose_seed (sim_prior = "
+                         "MASt3R-PnP-prior emulation, the reference regime; "
+                         "constant_velocity = harder no-prior ablation)")
+    args = ap.parse_args()
+
+    from lvdgs_tpu.eval.ate import eval_ate
+    from lvdgs_tpu.eval.rendering import eval_rendering
+    from lvdgs_tpu.slam.system import SLAM
+
+    cfg = build_config(args.frames, args.refine)
+    if args.seed_mode:
+        cfg["Training"]["pose_seed"] = args.seed_mode
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    slam = SLAM(cfg, save_dir=None)
+    slam.save_results = False
+    slam.do_eval_rendering = False  # we run eval ourselves below
+
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        slam.process_frame(i)
+    import numpy as np
+
+    float(slam.gmap.means[0, 0])  # sync (relay: block_until_ready is a no-op)
+    wall = time.perf_counter() - t0
+    fps = args.frames / wall
+
+    if args.refine > 0:
+        slam.color_refinement(args.refine)
+
+    ate = eval_ate(slam.frames, slam.kf_indices, None, 0, final=True,
+                   monocular=True)
+    render_metrics = eval_rendering(
+        slam.gmap,
+        slam.frames,
+        slam.dataset,
+        slam.intr,
+        slam.rcfg,
+        save_dir=None,
+        kf_indices=slam.kf_indices,
+        iteration="quality_bench",
+        max_frames=min(args.frames, args.eval_frames),
+    )
+
+    result = {
+        "ate_rmse_m": round(float(ate), 4),
+        "psnr_db": round(render_metrics["mean_psnr"], 2),
+        "ssim": round(render_metrics["mean_ssim"], 4),
+        "lpips": round(render_metrics["mean_lpips"], 4),
+        "fps": round(fps, 3),
+        "n_frames": args.frames,
+        "pose_seed": cfg["Training"].get("pose_seed", "constant_velocity"),
+        "n_keyframes": len(slam.kf_indices),
+        "n_gaussians": int(slam.gmap.num_active),
+        "trajectory_m": round(
+            float(np.linalg.norm(_center(slam.frames[args.frames - 1])
+                                 - _center(slam.frames[0]))),
+            1,
+        ),
+    }
+    with open(os.path.join(out_dir, "quality_bench.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
