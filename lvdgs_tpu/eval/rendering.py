@@ -26,10 +26,20 @@ _lpips_metric = None
 
 
 def _lpips(a: np.ndarray, b: np.ndarray) -> Optional[float]:
-    """LPIPS(alex) via torchmetrics on CPU; None when unavailable."""
+    """LPIPS(alex) via torchmetrics on CPU; None when unavailable.
+
+    This offline environment has no alexnet weights, so LPIPS is usually
+    unreported (the key is OMITTED from results — never a sentinel; see
+    BASELINE.md). To enable it, point LVDGS_LPIPS_WEIGHTS at a directory
+    containing a torchvision-style cache (hub/checkpoints/alexnet-*.pth):
+    it becomes TORCH_HOME before the metric is constructed.
+    """
     global _lpips_metric
     try:
         if _lpips_metric is None:
+            w = os.environ.get("LVDGS_LPIPS_WEIGHTS")
+            if w:
+                os.environ.setdefault("TORCH_HOME", w)
             import torch
             from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
 
@@ -126,15 +136,20 @@ def eval_rendering(
     result = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
         "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
-        "mean_lpips": float(np.mean(lpipss)) if lpipss else -1.0,
         "n_eval_frames": len(psnrs),
     }
+    # LPIPS needs alexnet weights, absent in offline envs — omit the key
+    # rather than emit a sentinel (VERDICT r3 #8; see _lpips docstring)
+    if lpipss:
+        result["mean_lpips"] = float(np.mean(lpipss))
     if psnrs_s:
         result["mean_psnr_static"] = float(np.mean(psnrs_s))
         result["mean_ssim_static"] = float(np.mean(ssims_s))
+    lp_str = (f"LPIPS {result['mean_lpips']:.4f}" if lpipss
+              else "LPIPS unavailable (no alexnet weights)")
     Log(
         f"Rendering eval [{iteration}]: PSNR {result['mean_psnr']:.2f} dB, "
-        f"SSIM {result['mean_ssim']:.4f}, LPIPS {result['mean_lpips']:.4f} "
+        f"SSIM {result['mean_ssim']:.4f}, {lp_str} "
         f"({result['n_eval_frames']} frames)",
         tag="Eval",
     )

@@ -67,6 +67,12 @@ class HeadlessViewer:
         self.q: "queue.Queue[GaussianPacket]" = queue.Queue(maxsize=8)
         self._n = 0
         os.makedirs(out_dir, exist_ok=True)
+        # fresh pose feed per run: append mode below would otherwise mix
+        # records from earlier runs into the same save_dir, desyncing
+        # replay_viewer's n-based pairing with live_*.png frames
+        trj = os.path.join(out_dir, "trajectory.jsonl")
+        if os.path.exists(trj):
+            os.remove(trj)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 

@@ -99,6 +99,16 @@ class SLAM:
         ds_cfg = config["Dataset"]
         opt_params = DotDict(config.get("opt_params", {}))
 
+        if tr.get("pose_seed") == "sim_prior" and ds_cfg.get("type", "KITTI") != "synthetic":
+            # the guard itself lives with pose_seed_mode below; refuse here
+            # too, before dataset construction, so the error names the real
+            # problem rather than whatever the dataset path raises first
+            raise ValueError(
+                "pose_seed=sim_prior is a GT-derived prior emulation for "
+                f"synthetic benches only; refusing on dataset type "
+                f"'{ds_cfg.get('type')}'"
+            )
+
         self.dataset = load_dataset(None, ds_cfg.get("dataset_path", ""), config)
         self.intr: Intrinsics = self.dataset.intrinsics
 
@@ -153,6 +163,15 @@ class SLAM:
                         saturation_feedback=sat_m, blend_bf16=bfb)
             if mb else self.rcfg
         )
+        # Honest phase attribution (VERDICT r3 weak #6): JAX dispatch is
+        # async and block_until_ready is a relay no-op, so the first timer
+        # that fetches a scalar eats every queued dispatch before it. With
+        # synced_timers on, each timed phase ends with a one-scalar fetch
+        # from an array that phase produced. Costs one host round trip per
+        # phase (~27 ms through the axon tunnel) — bench/profiling only.
+        self.synced_timers = bool(
+            int(os.environ.get("LVDGS_SYNCED_TIMERS", "0"))
+        ) or perf.get("synced_timers", False)
         # the map starts small and grows by powers of two toward
         # map_capacity as it fills (gm.grow_capacity) — every
         # capacity-proportional cost then tracks the live map size
@@ -267,6 +286,24 @@ class SLAM:
         self.adaptive_pointsize = ds_cfg.get("adaptive_pointsize", True)
         self.depth_cfg = config.get("depth", {})
         self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
+        if self.pose_seed_mode == "sim_prior":
+            # Synthetic-bench emulation of the MASt3R-PnP prior consumes
+            # GT poses + GT depth at runtime; never read results from this
+            # mode as prior-free (ADVICE r3). Refuse on real datasets.
+            ds_type = config.get("Dataset", {}).get("type", "KITTI")
+            if ds_type != "synthetic":
+                raise ValueError(
+                    "pose_seed=sim_prior is a GT-derived prior emulation for "
+                    f"synthetic benches only; refusing on dataset type "
+                    f"'{ds_type}' (use the real MASt3R prior or "
+                    "constant_velocity)"
+                )
+            Log(
+                "pose_seed=sim_prior: GT-derived pose-prior emulation active "
+                "— results are NOT prior-free (emulates MASt3R-PnP, "
+                "utils/init_pose.py:123-186)",
+                tag="LVD-GS-TPU",
+            )
         # sim_prior: MASt3R-PnP-class pose-prior emulation (see _pose_seed)
         self.sim_prior_trans_noise = tr.get("sim_prior_trans_noise", 0.02)
         self.sim_prior_rot_noise_deg = tr.get("sim_prior_rot_noise_deg", 0.2)
@@ -280,6 +317,9 @@ class SLAM:
         self.do_color_refinement = res.get("color_refinement", True)
         self.color_refinement_iters = res.get("color_refinement_iters", 26000)
         self.do_eval_rendering = res.get("eval_rendering", True)
+        # thin the per-frame 6-panel viz dumps on long sequences without
+        # code edits (ADVICE r3; viz_every=1 is reference parity)
+        self.eval_viz_every = res.get("viz_every", 1)
         self.do_global_ba = res.get("global_BA", False)
         self.global_ba_iters = tr.get("global_BA_itr_num", 500)
         # per-keyframe rendered-vs-mono depth comparison panels at fusion
@@ -776,6 +816,7 @@ class SLAM:
             point_size=self.point_size,
             adaptive_pointsize=self.adaptive_pointsize,
         )
+        self._phase_sync(self.gmap.num_active)
         self.timer.toc("kf_seed")
         mcfg = self.mcfg
         if not self.initialized:
@@ -797,6 +838,7 @@ class SLAM:
         window_slots = self._window_slots()
         self.timer.tic("kf_mapping")
         res = self._run_mapping(window_slots, iter_per_kf, mcfg)
+        self._phase_sync(None if res is None else res.occ_visibility)
         self.timer.toc("kf_mapping")
 
         # map(prune=True) pass
@@ -807,6 +849,7 @@ class SLAM:
             self.occ_visibility[kf_idx] = occ[i]
         self._sync_backend()  # also refreshes the cached active count
         self._maybe_shrink()
+        self._phase_sync(self.gmap.num_active)
         self.timer.toc("kf_prune")
 
     def _prune(self, window_slots, mapping_res):
@@ -832,6 +875,17 @@ class SLAM:
             prune_num=self.prune_num,
             window_size=self.window_size,
         )
+
+    def _phase_sync(self, *arrays) -> None:
+        """With synced_timers on, fetch one scalar from the first usable
+        device array so the phase's queued device work completes before its
+        toc (honest attribution; see __init__). No-op otherwise."""
+        if not self.synced_timers:
+            return
+        for a in arrays:
+            if a is not None and hasattr(a, "ravel") and getattr(a, "size", 0):
+                jax.device_get(a.ravel()[0])
+                return
 
     def _window_slots(self) -> jax.Array:
         slots = [self.kf_slots[k] for k in self.current_window]
@@ -977,6 +1031,7 @@ class SLAM:
         depth, cam = self._fused_keyframe_depth(
             idx, cam, track_res.depth[0], track_res.opacity[0], init=False
         )
+        self._phase_sync(depth)
         self.timer.toc("kf_fusion")
         self._cams[idx] = cam
         self.kf_indices.append(idx)
@@ -987,6 +1042,7 @@ class SLAM:
     def process_frame(self, idx: int, sample=None) -> None:
         self.timer.tic("camera")
         cam = self._build_camera(idx, sample)
+        self._phase_sync(cam.grad_mask)
         self.timer.toc("camera")
         if idx == 0 or not self.current_window:
             self._initialize(idx, cam)
@@ -1066,6 +1122,7 @@ class SLAM:
                     self.occ_visibility[kf_idx] = occ[i]
                 self._sync_backend()
                 self.last_sent = 0
+                self._phase_sync(self.gmap.num_active)
             self.timer.toc("idle_mapping")
         self.frames_processed += 1
 
@@ -1295,6 +1352,7 @@ class SLAM:
                     self.rcfg,
                     save_dir=self.save_dir if self.save_results else None,
                     kf_indices=self.kf_indices,
+                    viz_every=self.eval_viz_every,
                 )
             )
         results["timers"] = self.timer.summary()

@@ -8,9 +8,15 @@ The scene is the real-data-faithful synthetic street (lvdgs_tpu/data/
 datasets.py:_street_scene): KITTI camera geometry and depth range, textured
 surfaces, per-frame exposure jitter + sensor noise (the tracker's exposure
 affine must absorb it), and a mono-depth prior with a 0.8x global scale
-error + noise (the patch-based scale alignment must recover it). Poses are
-estimated from constant-velocity seeds — ground truth is used only by the
-final evaluation.
+error + noise (the patch-based scale alignment must recover it).
+
+Pose seeding: the street config defaults Training.pose_seed to `sim_prior`
+— a GT-derived emulation of the reference's MASt3R-PnP per-frame prior
+(GT relative pose + 2 cm / 0.2 deg noise, map scale calibrated from GT
+depth at keyframes; slam/system.py:_pose_seed/_observe_map_scale). The
+published numbers are therefore NOT prior-free; `pose_seed` is recorded in
+the emitted JSON for exactly this reason. Pass --seed-mode
+constant_velocity for the harder no-prior ablation.
 
 Writes results/quality_bench.json and prints one JSON line:
   {"ate_rmse_m": ..., "psnr_db": ..., "ssim": ..., "lpips": ...,
@@ -116,9 +122,9 @@ def main():
         "ate_rmse_m": round(float(ate), 4),
         "psnr_db": round(render_metrics["mean_psnr"], 2),
         "ssim": round(render_metrics["mean_ssim"], 4),
-        "lpips": round(render_metrics["mean_lpips"], 4),
         "fps": round(fps, 3),
         "n_frames": args.frames,
+        # prominent: sim_prior results are GT-prior-informed (see module doc)
         "pose_seed": cfg["Training"].get("pose_seed", "constant_velocity"),
         "n_keyframes": len(slam.kf_indices),
         "n_gaussians": int(slam.gmap.num_active),
@@ -128,6 +134,8 @@ def main():
             1,
         ),
     }
+    if "mean_lpips" in render_metrics:  # omitted when alexnet weights absent
+        result["lpips"] = round(render_metrics["mean_lpips"], 4)
     with open(os.path.join(out_dir, "quality_bench.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
