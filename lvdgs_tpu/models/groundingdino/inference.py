@@ -51,6 +51,12 @@ class WordPieceTokenizer:
         from ...core.log import Log
 
         self.vocab = {}
+        if not vocab_path:
+            # deployment hook: point LVDGS_BERT_VOCAB at bert-base-uncased
+            # vocab.txt once instead of threading vocab_path through every
+            # constructor (offline envs have no HF hub; reference fetches it
+            # at utils/slam_frontend.py:227-235)
+            vocab_path = os.environ.get("LVDGS_BERT_VOCAB") or None
         if vocab_path and os.path.exists(vocab_path):
             self._load(vocab_path)
         elif vocab_path:

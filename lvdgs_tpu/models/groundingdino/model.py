@@ -27,7 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.msda import multi_scale_deformable_attention
-from ..mast3r.vit import linear, layer_norm, _init_linear, _init_ln
+from ..mast3r.vit import linear, _init_linear, _init_ln
+from ..mast3r.vit import layer_norm as _layer_norm_e6
+
+
+def layer_norm(x, p):
+    """torch nn.LayerNorm default eps=1e-5 (GDINO constructs every
+    LayerNorm with defaults; the MASt3R helper defaults to CroCo's 1e-6)."""
+    return _layer_norm_e6(x, p, eps=1e-5)
 from .bert import BertConfig, TINY_BERT, bert_forward, init_bert
 from .swin import SwinConfig, TINY_SWIN, init_swin, swin_forward
 
@@ -88,8 +95,9 @@ def _sine_embed_boxes(boxes, dim):
             *v.shape, npf
         )
 
+    # reference concat order is (y, x, w, h) — utils.py:227
     return jnp.concatenate([emb(boxes[..., 1]), emb(boxes[..., 0]),
-                            emb(boxes[..., 3]), emb(boxes[..., 2])], axis=-1)
+                            emb(boxes[..., 2]), emb(boxes[..., 3])], axis=-1)
 
 
 def _mha(q, k, v, p, heads, bias=None):
@@ -107,15 +115,22 @@ def _mha(q, k, v, p, heads, bias=None):
 
 
 def _bi_attention(img, text, p, heads, text_mask):
-    """BiMultiHeadAttention (reference fuse_modules.py:99-249): joint
-    attention matrix, softmax both ways, residual with layer-scale gammas."""
+    """BiMultiHeadAttention inside BiAttentionBlock (reference
+    fuse_modules.py:99-295): joint attention matrix, softmax both ways,
+    residual with layer-scale gammas. NOTE the reference's residual base is
+    the LAYERNORMED input, not the raw one — BiAttentionBlock.forward
+    overwrites `v = self.layer_norm_v(v)` before `v = v + gamma_v * dv`
+    (fuse_modules.py:287-294); parity-tested in
+    tests/test_gdino_torch_parity.py."""
     B, Ni, D = img.shape
     Nt = text.shape[1]
     d = D // heads
-    vq = linear(layer_norm(img, p["ln_v"]), p["v_proj"]).reshape(B, Ni, heads, d)
-    lq = linear(layer_norm(text, p["ln_l"]), p["l_proj"]).reshape(B, Nt, heads, d)
-    vv = linear(layer_norm(img, p["ln_v"]), p["values_v"]).reshape(B, Ni, heads, d)
-    lv = linear(layer_norm(text, p["ln_l"]), p["values_l"]).reshape(B, Nt, heads, d)
+    imgn = layer_norm(img, p["ln_v"])
+    textn = layer_norm(text, p["ln_l"])
+    vq = linear(imgn, p["v_proj"]).reshape(B, Ni, heads, d)
+    lq = linear(textn, p["l_proj"]).reshape(B, Nt, heads, d)
+    vv = linear(imgn, p["values_v"]).reshape(B, Ni, heads, d)
+    lv = linear(textn, p["values_l"]).reshape(B, Nt, heads, d)
     att = jnp.einsum("bihd,bjhd->bhij", vq, lq, preferred_element_type=jnp.float32) * d**-0.5
     att = jnp.clip(att, -50000.0, 50000.0)
     mask = jnp.where(text_mask[:, None, None, :], 0.0, -1e9)
@@ -123,8 +138,8 @@ def _bi_attention(img, text, p, heads, text_mask):
     att_l2v = jax.nn.softmax(att, axis=-2).transpose(0, 1, 3, 2)  # text attends img
     dv = jnp.einsum("bhit,bthd->bihd", att_v2l, lv).reshape(B, Ni, D)
     dl = jnp.einsum("bhti,bihd->bthd", att_l2v, vv).reshape(B, Nt, D)
-    img = img + p["gamma_v"] * linear(dv, p["out_v"])
-    text = text + p["gamma_l"] * linear(dl, p["out_l"])
+    img = imgn + p["gamma_v"] * linear(dv, p["out_v"])
+    text = textn + p["gamma_l"] * linear(dl, p["out_l"])
     return img, text
 
 

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mast3r.vit import layer_norm, linear, _init_linear, _init_ln
+from ..mast3r.vit import linear, _init_linear, _init_ln
+from ..mast3r.vit import layer_norm as _layer_norm_e6
+
+
+def layer_norm(x, p):
+    """torch nn.LayerNorm default eps=1e-5 (Swin-T uses defaults; the
+    MASt3R helper defaults to CroCo's 1e-6)."""
+    return _layer_norm_e6(x, p, eps=1e-5)
 
 
 @dataclasses.dataclass(frozen=True)
