@@ -244,3 +244,35 @@ def test_get_sine_pos_embed_matches_torch():
                          emb(jnp.asarray(pos[..., 0]))], axis=-1)
     )
     np.testing.assert_allclose(j_out, t_out, atol=2e-5)
+
+
+def test_tokenizer_matches_hf_bert_tokenizer(tmp_path):
+    """WordPieceTokenizer vs transformers.BertTokenizer on the SAME vocab
+    file: identical ids for scene prompts (incl. multi-piece words and
+    [UNK]s). Pins the splitting algorithm so a user-supplied real
+    bert-base-uncased vocab.txt yields HF-parity ids (the reference
+    tokenizes via HF at utils/slam_frontend.py:227-235)."""
+    transformers = pytest.importorskip("transformers")
+
+    from lvdgs_tpu.models.groundingdino.inference import WordPieceTokenizer
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", ".", ",",
+        "car", "truck", "person", "bus", "bicycle", "walking", "walk",
+        "##ing", "##s", "##cycle", "bi", "motor", "a", "the", "pedestrian",
+    ]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+
+    hf = transformers.BertTokenizer(vocab_file=str(path), do_lower_case=True)
+    ours = WordPieceTokenizer(vocab_path=str(path))
+
+    prompts = [
+        "car . truck . person",
+        "walking pedestrian . bicycle . motorcycle",
+        "cars . buses . unknownword",
+        "the Bus . a person walking",
+    ]
+    for prompt in prompts:
+        hf_ids = hf(prompt)["input_ids"]
+        assert ours(prompt) == hf_ids, (prompt, ours(prompt), hf_ids)
