@@ -677,3 +677,54 @@ class HFGroundingDINODetector:
             res["boxes"].numpy().astype(np.float32),
             res["scores"].numpy().astype(np.float32),
         )
+
+
+class IntervalMasker:
+    """Keyframe-cadence adapter over a masker: run the full ladder every
+    `interval`-th frame and reuse the latest mask in between.
+
+    The reference runs GroundingDINO+SAM per KEYFRAME, not per frame
+    (utils/slam_frontend.py:1425); SLAM's masker hook fires per frame
+    (before the keyframe decision), so an interval equal to kf_interval
+    restores the reference's detection cost profile while every keyframe
+    still carries an at-most-(interval-1)-frames-stale mask.
+
+    `image_provider` (optional, frame_idx -> HWC uint8) lets callers feed
+    host-cached frames, skipping the device->host image fetch SLAM would
+    otherwise pay per call (`provides_images` advertises this to SLAM).
+    """
+
+    def __init__(self, masker, interval: int = 5, image_provider=None):
+        self.masker = masker
+        self.interval = max(1, int(interval))
+        self.image_provider = image_provider
+        self.provides_images = image_provider is not None
+        self._last: Optional[np.ndarray] = None
+
+    @property
+    def save_images(self) -> bool:
+        return getattr(self.masker, "save_images", False)
+
+    def _image(self, image, frame_idx: int):
+        if self.image_provider is not None:
+            return self.image_provider(frame_idx)
+        return image
+
+    def get_static_mask(self, image, frame_idx: int = 0) -> np.ndarray:
+        if self._last is None or frame_idx % self.interval == 0:
+            self._last = self.masker.get_static_mask(
+                self._image(image, frame_idx), frame_idx
+            )
+        return self._last
+
+    def get_static_mask_for_gaussian_init(self, image, frame_idx: int = 0):
+        self._last = self.masker.get_static_mask_for_gaussian_init(
+            self._image(image, frame_idx), frame_idx
+        )
+        return self._last
+
+    def save_keyframe_overlay(self, image, static, kf_idx: int) -> None:
+        if hasattr(self.masker, "save_keyframe_overlay"):
+            self.masker.save_keyframe_overlay(
+                self._image(image, kf_idx), static, kf_idx
+            )

@@ -172,6 +172,11 @@ class SLAM:
         self.synced_timers = bool(
             int(os.environ.get("LVDGS_SYNCED_TIMERS", "0"))
         ) or perf.get("synced_timers", False)
+        # LVDGS_NAN_SCAN=1: after every SLAM phase, scan map params (split
+        # by active/inactive rows) and phase outputs for non-finite values
+        # and log the first offending phase. Forces a device fetch per phase
+        # — debugging only, never on in benches.
+        self._nan_scan_on = os.environ.get("LVDGS_NAN_SCAN", "") == "1"
         # the map starts small and grows by powers of two toward
         # map_capacity as it fills (gm.grow_capacity) — every
         # capacity-proportional cost then tracks the live map size
@@ -500,7 +505,13 @@ class SLAM:
             ),
         )
         if self.masker is not None:
-            static = self.masker.get_static_mask(np.asarray(cam.image), frame_idx=idx)
+            # maskers with their own host-side image source (IntervalMasker
+            # with image_provider) skip the per-frame device->host image
+            # fetch (~3 s/frame through the TPU relay on device-resident
+            # datasets)
+            img_np = (None if getattr(self.masker, "provides_images", False)
+                      else np.asarray(cam.image))
+            static = self.masker.get_static_mask(img_np, frame_idx=idx)
             cam = cam.replace(
                 static_mask=jnp.asarray(static, bool),
                 has_static_mask=jnp.asarray(True),
@@ -797,6 +808,7 @@ class SLAM:
             jnp.asarray([self.kf_slots[idx]], jnp.int32), self.init_itr_num, self.mcfg_init
         )
         self.occ_visibility[idx] = res.occ_visibility[0]
+        self._nan_scan(f"backend_init[{idx}]", depth)
         Log(f"Initialized map ({int(self.gmap.num_active)} gaussians)")
 
     def _backend_keyframe(self, idx: int, depth) -> None:
@@ -817,6 +829,7 @@ class SLAM:
             adaptive_pointsize=self.adaptive_pointsize,
         )
         self._phase_sync(self.gmap.num_active)
+        self._nan_scan(f"kf_seed[{idx}]", depth)
         self.timer.toc("kf_seed")
         mcfg = self.mcfg
         if not self.initialized:
@@ -839,6 +852,7 @@ class SLAM:
         self.timer.tic("kf_mapping")
         res = self._run_mapping(window_slots, iter_per_kf, mcfg)
         self._phase_sync(None if res is None else res.occ_visibility)
+        self._nan_scan(f"kf_mapping[{idx}]")
         self.timer.toc("kf_mapping")
 
         # map(prune=True) pass
@@ -850,6 +864,7 @@ class SLAM:
         self._sync_backend()  # also refreshes the cached active count
         self._maybe_shrink()
         self._phase_sync(self.gmap.num_active)
+        self._nan_scan(f"kf_prune[{idx}]")
         self.timer.toc("kf_prune")
 
     def _prune(self, window_slots, mapping_res):
@@ -875,6 +890,29 @@ class SLAM:
             prune_num=self.prune_num,
             window_size=self.window_size,
         )
+
+    def _nan_scan(self, where: str, extra=None) -> None:
+        """Opt-in (LVDGS_NAN_SCAN=1) non-finite detector: logs which map
+        params contain NaN/Inf (active vs inactive rows separately) plus an
+        optional phase-output array, tagged with the phase name — localizes
+        corruption to the phase that introduced it."""
+        if not self._nan_scan_on:
+            return
+        msgs = []
+        act = np.asarray(self.gmap.active)
+        for k, v in self.gmap.params().items():
+            bad = ~np.isfinite(np.asarray(v))
+            if bad.ndim > 1:
+                bad = bad.any(axis=1)
+            na, ni = int(bad[act].sum()), int(bad[~act].sum())
+            if na or ni:
+                msgs.append(f"{k}(act={na},inact={ni})")
+        if extra is not None:
+            nb = int((~np.isfinite(np.asarray(extra))).sum())
+            if nb:
+                msgs.append(f"phase_out({nb})")
+        if msgs:
+            Log(f"NANSCAN[{where}]: " + " ".join(msgs), tag="Debug")
 
     def _phase_sync(self, *arrays) -> None:
         """With synced_timers on, fetch one scalar from the first usable
@@ -1056,6 +1094,9 @@ class SLAM:
         self.timer.tic("tracking")
         cam, res = self._track(idx, cam)
         self.timer.toc("tracking")
+        if self._nan_scan_on:
+            self._nan_scan(f"track[{idx}]", np.concatenate(
+                [np.asarray(cam.R).ravel(), np.asarray(cam.T).ravel()]))
 
         last_kf_idx = self.current_window[0]
         check_time = (idx - last_kf_idx) >= self.kf_interval
@@ -1123,6 +1164,7 @@ class SLAM:
                 self._sync_backend()
                 self.last_sent = 0
                 self._phase_sync(self.gmap.num_active)
+                self._nan_scan(f"idle_mapping[{idx}]")
             self.timer.toc("idle_mapping")
         self.frames_processed += 1
 
@@ -1272,6 +1314,7 @@ class SLAM:
                 mcfg=self.mcfg,
             )
             done += seg
+            self._nan_scan(f"color_refine[{done}]")
         Log("Map refinement done")
 
     def run(self, n_frames: Optional[int] = None, progress: bool = True,

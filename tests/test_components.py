@@ -207,3 +207,31 @@ def test_masker_fallback_no_models():
     assert m1.shape == (48, 64)
     # identical frames -> no motion -> everything static
     assert m1.mean() > 0.95
+
+
+def test_interval_masker_cadence_and_provider():
+    """IntervalMasker runs the ladder only every interval-th frame, reuses
+    the latest mask between, and sources images from its provider
+    (provides_images lets SLAM skip the device->host image fetch)."""
+    from lvdgs_tpu.perception.masking import DynamicObjectMasker, IntervalMasker
+
+    calls = []
+
+    class Det:
+        def __call__(self, img, prompt):
+            calls.append(img.shape)
+            return (np.array([[10.0, 10.0, 40.0, 30.0]], np.float32),
+                    np.array([0.9], np.float32))
+
+    ladder = DynamicObjectMasker(detector=Det(), use_sam=False, use_flow=False)
+    n_warmup = len(calls)
+    im = IntervalMasker(
+        ladder, interval=5,
+        image_provider=lambda i: np.full((48, 64, 3), 100, np.uint8),
+    )
+    assert im.provides_images
+    for i in range(10):
+        mask = im.get_static_mask(None, frame_idx=i)
+        assert mask.shape == (48, 64)
+    assert len(calls) - n_warmup == 2  # frames 0 and 5 only
+    assert all(s == (48, 64, 3) for s in calls[n_warmup:])  # provider images
