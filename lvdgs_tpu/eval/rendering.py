@@ -82,6 +82,7 @@ def eval_rendering(
     img_pred, img_gt = [], []
     psnrs, ssims, lpipss = [], [], []
     psnrs_s, ssims_s = [], []
+    nonfinite_frames: List[int] = []
 
     params = gmap.params()
     active = gmap.active
@@ -93,6 +94,10 @@ def eval_rendering(
         if idx in kf_set or idx not in frames:
             continue
         f = frames[idx]
+        if not (np.all(np.isfinite(f["R"])) and np.all(np.isfinite(f["T"]))):
+            nonfinite_frames.append(idx)
+            Log(f"eval frame {idx}: non-finite pose, skipped", tag="Eval")
+            continue
         image, _, _, mono_depth = dataset[idx]
         gt = jnp.asarray(image)
         out = rasterize(
@@ -100,19 +105,40 @@ def eval_rendering(
         )
         render = jnp.clip(out.image, 0.0, 1.0)
         valid = (gt.sum(axis=0) > 0.01)[None]
-        psnrs.append(float(psnr_fn(render, gt, valid)))
-        ssims.append(float(ssim_fn(render, gt)))
+        p = float(psnr_fn(render, gt, valid))
+        s = float(ssim_fn(render, gt))
+        if not (np.isfinite(p) and np.isfinite(s)):
+            # a non-finite score means the RENDER contains NaN/Inf (map or
+            # pose corruption) — surface it loudly instead of poisoning the
+            # mean or silently dropping it
+            nonfinite_frames.append(idx)
+            Log(f"eval frame {idx}: non-finite render (psnr={p}, ssim={s}), "
+                "excluded from means", tag="Eval")
+            continue
+        psnrs.append(p)
+        ssims.append(s)
         lp = _lpips(np.asarray(render), np.asarray(gt))
         if lp is not None:
             lpipss.append(lp)
 
         static = f.get("static_mask")
+        if hasattr(dataset, "get_gt_static_mask"):
+            # dynamic synthetic scenes carry occlusion-exact GT masks — use
+            # them for the static-region metrics so masked and unmasked runs
+            # are scored on the IDENTICAL pixel set (the per-run detector
+            # mask would bias the comparison toward its own run)
+            gt_static = dataset.get_gt_static_mask(idx)
+            if gt_static is not None:
+                static = np.asarray(gt_static)
         if static is not None:
             sm = jnp.asarray(static)[None]
             render_s = jnp.where(sm, render, jnp.asarray(bg)[:, None, None])
             gt_s = jnp.where(sm, gt, jnp.asarray(bg)[:, None, None])
-            psnrs_s.append(float(psnr_fn(render_s, gt_s, valid & sm)))
-            ssims_s.append(float(ssim_fn(render_s, gt_s)))
+            ps = float(psnr_fn(render_s, gt_s, valid & sm))
+            ss = float(ssim_fn(render_s, gt_s))
+            if np.isfinite(ps) and np.isfinite(ss):  # empty static region -> NaN
+                psnrs_s.append(ps)
+                ssims_s.append(ss)
 
         if save_dir is not None and idx % viz_every == 0:
             _dump_frame(save_dir, iteration, idx, np.asarray(render), np.asarray(gt),
@@ -138,6 +164,9 @@ def eval_rendering(
         "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
         "n_eval_frames": len(psnrs),
     }
+    if nonfinite_frames:
+        result["n_nonfinite_frames"] = len(nonfinite_frames)
+        result["nonfinite_frames"] = nonfinite_frames[:20]
     # LPIPS needs alexnet weights, absent in offline envs — omit the key
     # rather than emit a sentinel (VERDICT r3 #8; see _lpips docstring)
     if lpipss:

@@ -41,7 +41,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
-def build_config(n_frames: int, refine_iters: int):
+def build_config(n_frames: int, refine_iters: int, dynamic_objects: int = 0):
     from lvdgs_tpu.core.config import load_config
 
     cfg = load_config(
@@ -51,6 +51,7 @@ def build_config(n_frames: int, refine_iters: int):
         )
     )
     cfg["Dataset"]["n_frames"] = n_frames
+    cfg["Dataset"]["dynamic_objects"] = dynamic_objects
     cfg["Results"]["color_refinement_iters"] = refine_iters
     cfg["Results"]["color_refinement"] = refine_iters > 0
     return cfg
@@ -74,35 +75,94 @@ def main():
                     help="override Training.pose_seed (sim_prior = "
                          "MASt3R-PnP-prior emulation, the reference regime; "
                          "constant_velocity = harder no-prior ablation)")
+    ap.add_argument("--dynamic", type=int, default=0,
+                    help="number of moving cars in the street scene "
+                         "(0 = static bench; VERDICT r3 #3 dynamic mode)")
+    ap.add_argument("--mask-mode", default="none",
+                    choices=["none", "oracle", "ladder"],
+                    help="dynamic-object masking: none = unmasked ablation, "
+                         "oracle = GT static mask fed through SLAM's real "
+                         "mask plumbing, ladder = full DynamicObjectMasker "
+                         "pipeline (SAM fusion/flow/temporal median) driven "
+                         "by oracle detector+segmenter hooks")
+    ap.add_argument("--out", default=None,
+                    help="output JSON name under results/ (defaults to "
+                         "quality_bench.json, or quality_bench_dynamic_"
+                         "<mask-mode>.json with --dynamic)")
+    ap.add_argument("--save-state", default=None,
+                    help="save the post-run SLAM state (pre-refinement "
+                         "when --refine 0) to this checkpoint dir")
+    ap.add_argument("--load-state", default=None,
+                    help="resume from a saved checkpoint dir instead of "
+                         "re-running the frames (debug/bisection workflows)")
     args = ap.parse_args()
 
     from lvdgs_tpu.eval.ate import eval_ate
     from lvdgs_tpu.eval.rendering import eval_rendering
     from lvdgs_tpu.slam.system import SLAM
 
-    cfg = build_config(args.frames, args.refine)
+    cfg = build_config(args.frames, args.refine, args.dynamic)
     if args.seed_mode:
         cfg["Training"]["pose_seed"] = args.seed_mode
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results"
     )
     os.makedirs(out_dir, exist_ok=True)
+    out_name = args.out or (
+        f"quality_bench_dynamic_{args.mask_mode}.json" if args.dynamic
+        else "quality_bench.json"
+    )
 
     slam = SLAM(cfg, save_dir=None)
     slam.save_results = False
     slam.do_eval_rendering = False  # we run eval ourselves below
+    if args.mask_mode != "none":
+        # oracle masking flows through SLAM's REAL mask plumbing: camera
+        # static_mask -> seeding validity, tracking/mapping loss gating,
+        # keyframe relax (reference consumes detector masks the same way,
+        # utils/slam_frontend.py:1309-1329)
+        from lvdgs_tpu.perception.oracle import OracleLadderMasker, OracleMasker
 
-    t0 = time.perf_counter()
-    for i in range(args.frames):
-        slam.process_frame(i)
+        slam.masker = (
+            OracleMasker(slam.dataset) if args.mask_mode == "oracle"
+            else OracleLadderMasker(slam.dataset)
+        )
+
     import numpy as np
 
-    float(slam.gmap.means[0, 0])  # sync (relay: block_until_ready is a no-op)
-    wall = time.perf_counter() - t0
-    fps = args.frames / wall
+    if args.load_state:
+        slam.load_state(args.load_state)
+        fps = 0.0
+    else:
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            slam.process_frame(i)
+        float(slam.gmap.means[0, 0])  # sync (block_until_ready is a relay no-op)
+        wall = time.perf_counter() - t0
+        fps = args.frames / wall
+
+    if args.save_state:
+        slam.save_state(args.save_state)
 
     if args.refine > 0:
         slam.color_refinement(args.refine)
+
+    # corruption scan: non-finite map params / frame poses (diagnoses NaN
+    # render metrics at the source instead of poisoned means)
+    import jax.numpy as jnp
+
+    nan_params = sorted(
+        k for k, v in slam.gmap.params().items() if bool(jnp.isnan(v).any())
+    )
+    bad_pose_frames = sorted(
+        i for i, f in slam.frames.items()
+        if not (np.all(np.isfinite(f["R"])) and np.all(np.isfinite(f["T"])))
+    )
+    if nan_params:
+        print(f"WARNING: NaN in map params: {nan_params}")
+    if bad_pose_frames:
+        print(f"WARNING: non-finite poses at frames {bad_pose_frames[:20]}"
+              f" ({len(bad_pose_frames)} total)")
 
     ate = eval_ate(slam.frames, slam.kf_indices, None, 0, final=True,
                    monocular=True)
@@ -134,9 +194,22 @@ def main():
             1,
         ),
     }
+    if args.dynamic:
+        result["dynamic_objects"] = args.dynamic
+        result["mask_mode"] = args.mask_mode
+    if "mean_psnr_static" in render_metrics:
+        result["psnr_static_db"] = round(render_metrics["mean_psnr_static"], 2)
+        result["ssim_static"] = round(render_metrics["mean_ssim_static"], 4)
     if "mean_lpips" in render_metrics:  # omitted when alexnet weights absent
         result["lpips"] = round(render_metrics["mean_lpips"], 4)
-    with open(os.path.join(out_dir, "quality_bench.json"), "w") as f:
+    if nan_params:
+        result["nan_map_params"] = nan_params
+    if bad_pose_frames:
+        result["n_nonfinite_pose_frames"] = len(bad_pose_frames)
+    if render_metrics.get("n_nonfinite_frames"):
+        result["n_nonfinite_render_frames"] = render_metrics["n_nonfinite_frames"]
+        result["nonfinite_render_frames"] = render_metrics["nonfinite_frames"]
+    with open(os.path.join(out_dir, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
