@@ -359,12 +359,15 @@ def _street_dynamic_objects(rng, scfg, z_max):
         (+1.75, 45.0, +1.0, +0.5 * step / 0.5, (0.18, 0.55, 0.25)),
     ]
     archetypes = [
-        (a[0], a[1], a[2], a[3], tuple(a[4]) if len(a) == 5 else tuple(a[4:7]))
+        (a[0], a[1], a[2], a[3],
+         tuple(a[4]) if len(a) == 5 else tuple(a[4:7]),
+         tuple(a[7:10]) if len(a) >= 10 else (4.2, 1.8, 1.5))
         for a in archetypes
     ]
     for i in range(min(n_obj, len(archetypes))):
-        x0, z0, heading, vz, tint = archetypes[i]
-        m, c, s = _car_cluster(rng, x0, 1.5, z0, heading, np.asarray(tint))
+        x0, z0, heading, vz, tint, (length, width, height) = archetypes[i]
+        m, c, s = _car_cluster(rng, x0, 1.5, z0, heading, np.asarray(tint),
+                               length=length, width=width, height=height)
         objs.append(
             {
                 "means": m,

@@ -575,7 +575,10 @@ class MapOptimizer:
         for f in PARAM_FIELDS:
             g = grads[f]
             mask = active if g.ndim == 1 else active[:, None]
-            g = jnp.where(mask, g, 0.0)
+            # non-finite guard: one NaN/Inf gradient component (degenerate
+            # projection, saturated blend) must cost one zeroed update, not
+            # the whole map — a single poisoned Adam step is unrecoverable
+            g = jnp.where(mask & jnp.isfinite(g), g, 0.0)
             m = self.b1 * state.m[f] + (1 - self.b1) * g
             v = self.b2 * state.v[f] + (1 - self.b2) * g * g
             mhat = m / (1 - self.b1 ** count)

@@ -197,7 +197,13 @@ def project_gaussians(
     )
 
     det = a * c - b * b
-    valid = in_front & active & (det > 0.0)
+    # det floor (not just >0): a denormal det passes the cull but its
+    # conic=adj/det and the backward's 1/det^2 chain overflow to inf, and
+    # one such edge-on degenerate gaussian NaN-poisons the whole map
+    # through a single Adam step (r4: color refinement died this way after
+    # ~1700 iters on the street bench). Floored dets are sliver gaussians
+    # the CUDA reference mis-renders anyway; culling them is quality-free.
+    valid = in_front & active & (det > 1e-6)
     det_s = jnp.where(valid, det, 1.0)
     conic = jnp.stack([c / det_s, -b / det_s, a / det_s], axis=-1)  # (A, B, C) of inverse
 

@@ -763,7 +763,8 @@ def global_ba_run(
         # plain SGD-like pose step (per-frame Adam state is impractical when
         # sampling random frames; small fixed-lr update, frame 0 pinned)
         tau_new = jnp.where(
-            kfbuf.frame_idx[slot] != 0, -lr_tau * g_tau, jnp.zeros(6)
+            (kfbuf.frame_idx[slot] != 0) & jnp.isfinite(g_tau),
+            -lr_tau * g_tau, jnp.zeros(6)
         )
         Rn, Tn = lie.apply_delta(kfbuf.R[slot], kfbuf.T[slot], tau_new)
         kfbuf = kfbuf.replace(

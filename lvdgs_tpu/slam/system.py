@@ -656,7 +656,11 @@ class SLAM:
         # masker-first guard: bool() of a device scalar is a ~27 ms relay
         # sync, pointless when no masker is configured
         if self.masker is not None and bool(cam.has_static_mask):
-            kernel = 9 if idx == 0 else 7
+            # reference kernels (9 first frame / 7 after) are tuned for
+            # KITTI-scale images; Training.mask_dilation rescales for
+            # small-resolution scenes (tests) without touching the default
+            base = self.config["Training"].get("mask_dilation", 7)
+            kernel = base + 2 if idx == 0 else base
             expanded_dynamic = _dilate_mask(~cam.static_mask, kernel)
             valid_rgb = valid_rgb & ~expanded_dynamic
             # graded static-region health warnings (reference

@@ -189,6 +189,10 @@ def track_camera(
         (loss, out), (g_tau, g_ab) = lin_grad_fn(
             jnp.zeros(6), s.ab, s.tau_acc, tpj, bins
         )
+        # non-finite guard: skip (zero) the update instead of poisoning the
+        # pose and every later iteration through the Adam moments
+        g_tau = jnp.where(jnp.isfinite(g_tau), g_tau, 0.0)
+        g_ab = jnp.where(jnp.isfinite(g_ab), g_ab, 0.0)
         it = s.it + 1
         itf = it.astype(jnp.float32)
 
@@ -232,6 +236,9 @@ def track_camera(
 
     def body_with_bins(s: TrackState, bins) -> TrackState:
         (loss, out), (g_tau, g_ab) = grad_fn(jnp.zeros(6), s.ab, s.R, s.T, bins)
+        # non-finite guard (see body_with_tpj)
+        g_tau = jnp.where(jnp.isfinite(g_tau), g_tau, 0.0)
+        g_ab = jnp.where(jnp.isfinite(g_ab), g_ab, 0.0)
         it = s.it + 1
         itf = it.astype(jnp.float32)
 
