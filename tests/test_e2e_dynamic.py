@@ -44,11 +44,13 @@ def _dyn_config():
         "pcd_downsample_init": 8,
         "dynamic_objects": 2,
         # staged for an 18-frame run: a leading car the camera slowly
-        # overtakes (persistent large coverage) + an oncoming car that
-        # passes at ~frame 13 (fast image-space motion)
+        # overtakes (persistent central coverage) + a large oncoming truck
+        # (7.0 x 2.3 x 2.6 m) passing close at ~frame 11 — enough moving
+        # pixels that the unmasked run measurably degrades (CPU-calibrated:
+        # unmasked ATE 1.65 m vs masked 1.18 m, static PSNR 14.60 vs 15.54)
         "dynamic_archetypes": [
             [+1.3, 6.0, +1.0, +0.28, 0.15, 0.25, 0.70],
-            [-1.6, 13.0, -1.0, -0.50, 0.75, 0.15, 0.12],
+            [-1.9, 12.0, -1.0, -0.55, 0.75, 0.15, 0.12, 7.0, 2.3, 2.6],
         ],
     })
     config["Dataset"]["Calibration"].update({
@@ -56,9 +58,15 @@ def _dyn_config():
         "cx": 80.0, "cy": 24.0,
     })
     config["Training"].update({
-        "pose_seed": "sim_prior",
-        "sim_prior_trans_noise": 0.02,
-        "sim_prior_rot_noise_deg": 0.2,
+        # photometric-only seeding: with GT-derived sim_prior seeds the
+        # moving objects barely perturb tracking and there is nothing for
+        # masking to recover — the claim is only meaningful when tracking
+        # itself carries the trajectory (the reference's prior is likewise
+        # corrupted by moving matches, which sim_prior cannot model)
+        "pose_seed": "constant_velocity",
+        # reference mask-expansion kernels are KITTI-res-tuned; rescale for
+        # the 160x48 test frames (see SLAM._fused_keyframe_depth)
+        "mask_dilation": 3,
         "init_itr_num": 300,
         "mapping_itr_num": 30,
         "mapping_itr_nosingle": 10,
@@ -123,9 +131,9 @@ def test_scene_has_moving_objects(dynamic_runs):
 def test_masking_recovers_trajectory(dynamic_runs):
     (_, ate_u, _), (_, ate_m, _) = dynamic_runs
     assert np.isfinite(ate_m) and np.isfinite(ate_u)
-    # headline claim: masking must not be worse, and the unmasked run must
-    # actually be degraded enough for the comparison to mean something
-    assert ate_m <= ate_u * 1.05, (ate_m, ate_u)
+    # headline claim: masking strictly improves the trajectory (CPU
+    # calibration: 1.18 m masked vs 1.65 m unmasked — 28% headroom)
+    assert ate_m < ate_u, (ate_m, ate_u)
 
 
 def test_masking_recovers_static_psnr(dynamic_runs):
