@@ -26,16 +26,20 @@ run() {
 
 # quick tier: small modules grouped per process by subsystem
 run tests/test_lie.py tests/test_components.py tests/test_gaussian.py \
-    tests/test_datasets.py tests/test_aux.py -m "not slow"
+    tests/test_datasets.py tests/test_aux.py tests/test_colmap.py -m "not slow"
 run tests/test_binning.py tests/test_rasterizer.py -m "not slow"
 run tests/test_rasterizer_pallas.py -m "not slow"
 run tests/test_slam_steps.py tests/test_converters.py -m "not slow"
-run tests/test_mast3r.py tests/test_cloud_opt.py -m "not slow"
-run tests/test_groundingdino.py tests/test_sam.py -m "not slow"
+run tests/test_mast3r.py tests/test_cloud_opt.py \
+    tests/test_oracle_prior.py -m "not slow"
+run tests/test_groundingdino.py tests/test_sam.py \
+    tests/test_gdino_torch_parity.py -m "not slow"
 
 if [ "$QUICK_ONLY" = "0" ]; then
   # slow tier: isolated processes (full SLAM loops, 8-device mesh)
   run tests/test_e2e_synthetic.py
+  run tests/test_e2e_dynamic.py
+  run tests/test_street_quality_gate.py tests/test_oracle_prior.py -m slow
   run tests/test_parallel.py
   run tests/test_datasets.py -m slow
 fi
