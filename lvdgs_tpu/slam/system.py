@@ -313,6 +313,7 @@ class SLAM:
         self.sim_prior_trans_noise = tr.get("sim_prior_trans_noise", 0.02)
         self.sim_prior_rot_noise_deg = tr.get("sim_prior_rot_noise_deg", 0.2)
         self._map_scale_obs: Optional[float] = None  # see _map_scale_estimate
+        self._scale_history: list = []  # (frame, obs) drift telemetry
         self.mono_depth_source = ds_cfg.get("mono_depth_source", "dataset")
 
         res = config.get("Results", {})
@@ -557,6 +558,10 @@ class SLAM:
         ok = (rd > 0.1) & (gd > 0.1) & np.isfinite(rd) & np.isfinite(gd)
         if ok.sum() >= 100:
             self._map_scale_obs = float(np.median(rd[ok] / gd[ok]))
+            # drift telemetry: (frame, scale) per keyframe — quality_bench
+            # emits this so map-scale drift (the dominant monocular ATE
+            # contributor) is diagnosable from committed artifacts
+            self._scale_history.append((int(cam.uid), self._map_scale_obs))
 
     def _pose_seed(self, idx: int, cam: Camera) -> Camera:
         if self.pose_prior is not None:
@@ -1068,7 +1073,9 @@ class SLAM:
             self.masker.save_keyframe_overlay(cam.image, cam.static_mask, idx)
 
         self.timer.tic("kf_fusion")
-        if self.pose_seed_mode == "sim_prior":
+        if self.pose_seed_mode == "sim_prior" or cam.depth is not None:
+            # consumed by sim_prior; pure telemetry otherwise (GT depth is
+            # synthetic-only, so this never fires on real datasets)
             self._observe_map_scale(track_res.depth[0], cam)
         depth, cam = self._fused_keyframe_depth(
             idx, cam, track_res.depth[0], track_res.opacity[0], init=False

@@ -229,6 +229,11 @@ def main():
         result["ssim_static"] = round(render_metrics["mean_ssim_static"], 4)
     if "mean_lpips" in render_metrics:  # omitted when alexnet weights absent
         result["lpips"] = round(render_metrics["mean_lpips"], 4)
+    if getattr(slam, "_scale_history", None):
+        # per-keyframe median(render/GT depth): map-scale drift profile
+        result["map_scale_history"] = [
+            [f, round(s, 4)] for f, s in slam._scale_history
+        ]
     if nan_params:
         result["nan_map_params"] = nan_params
     if bad_pose_frames:
