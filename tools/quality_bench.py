@@ -169,7 +169,19 @@ def main():
     if args.save_state:
         slam.save_state(args.save_state)
 
+    pre_refine = None
     if args.refine > 0:
+        from lvdgs_tpu.eval.rendering import eval_rendering as _er
+
+        # pre-refinement render quality: refinement fits the keyframe set
+        # (all params, reference slam_backend.py:393-468) and can trade
+        # held-out-view PSNR for SSIM — record both states in the artifact
+        pre = _er(slam.gmap, slam.frames, slam.dataset, slam.intr, slam.rcfg,
+                  save_dir=None, kf_indices=slam.kf_indices,
+                  iteration="pre_refine",
+                  max_frames=min(args.frames, args.eval_frames))
+        pre_refine = {"psnr_db": round(pre["mean_psnr"], 2),
+                      "ssim": round(pre["mean_ssim"], 4)}
         slam.color_refinement(args.refine)
 
     # corruption scan: non-finite map params / frame poses (diagnoses NaN
@@ -229,6 +241,8 @@ def main():
         result["ssim_static"] = round(render_metrics["mean_ssim_static"], 4)
     if "mean_lpips" in render_metrics:  # omitted when alexnet weights absent
         result["lpips"] = round(render_metrics["mean_lpips"], 4)
+    if pre_refine is not None:
+        result["pre_refine"] = pre_refine
     if getattr(slam, "_scale_history", None):
         # per-keyframe median(render/GT depth): map-scale drift profile
         result["map_scale_history"] = [
