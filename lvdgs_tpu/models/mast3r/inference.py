@@ -31,7 +31,7 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 from ...core.camera import Intrinsics
-from ...ops.rasterizer import RenderConfig, rasterize
+from ...ops.rasterizer import RenderConfig, rasterize, rasterize_median_depth
 from .model import MASt3RConfig, mast3r_forward, mast3r_forward_fused
 from .matching import fast_reciprocal_nns
 
@@ -143,11 +143,15 @@ def _pose_from_preds(
     m1, m2 = fast_reciprocal_nns(pred1["desc"][0], pred2["desc"][0])
 
     sub_intr = intr.scaled(W1, H1)
-    out = rasterize(
-        gmap.params(), gmap.active, jnp.asarray(last_kf_R), jnp.asarray(last_kf_T),
-        sub_intr, rcfg,
+    # transmittance-median (front-surface) depth: the PnP object points are
+    # unprojected from this map render, and the alpha-mean depth's
+    # (1-opacity) shallow bias would scale every PnP translation and
+    # compound through the trajectory (ops/rasterizer.rasterize_median_depth)
+    md, _mo = rasterize_median_depth(
+        gmap.params(), gmap.active, jnp.asarray(last_kf_R),
+        jnp.asarray(last_kf_T), sub_intr, rcfg,
     )
-    render_depth = np.asarray(out.depth[0])
+    render_depth = np.asarray(md[0])
     K_new = sub_intr.K.astype(np.float64)
     pts3d = depth_to_3d(render_depth, K_new, dist_coeffs)
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1447,6 +1447,104 @@ def rasterize(
         visibility_filter=proj["valid"],
         n_touched=n_touched,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def rasterize_median_depth(
+    params: Dict[str, jax.Array],
+    active: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Transmittance-median (front-surface) depth: the z of the first splat
+    at which accumulated opacity crosses 0.5. Returns ((1,H,W) depth,
+    (1,H,W) opacity); pixels whose opacity never reaches 0.5 get depth 0.
+
+    WHY: the alpha-blended depth output is a transmittance-weighted MEAN —
+    background visible through a partially-opaque surface pulls it behind
+    the surface. Harmless for losses, but the per-keyframe mono->render
+    scale alignment (slam/depth_alignment.py) and the PnP unprojection
+    (mast3r/inference.py:_pose_from_preds) treat rendered depth as a
+    surface measurement, and a small systematic deep bias COMPOUNDS
+    multiplicatively through the alignment feedback (r4 street bench: map
+    scale drifted 0.8 -> 1.9x GT over 34 keyframes, ATE 1.9 m of a 42 m
+    trajectory). Non-differentiable by design (stop-gradient semantics);
+    dense blend only — keyframe-cadence cost."""
+    ntx, nty = cfg.grid(intr)
+    params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    R = jax.lax.stop_gradient(R)
+    t = jax.lax.stop_gradient(t)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t, intr
+    )
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
+    tile_idx, slot_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"],
+        ntx=ntx, nty=nty, tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile, tile_chunk=cfg.tile_chunk,
+        coarse_factor=cfg.coarse_factor, max_per_coarse=cfg.max_per_coarse,
+        use_approx_topk=cfg.use_approx_topk, approx_recall=cfg.approx_recall,
+    )
+
+    T, K = tile_idx.shape
+    ts = cfg.tile_size
+    P = ts * ts
+    Kc = cfg.gaussian_chunk
+    n_chunks = K // Kc
+    pad = lambda arr, v: jnp.concatenate(  # noqa: E731
+        [arr, jnp.full((1,) + arr.shape[1:], v, arr.dtype)], 0
+    )
+    mean2d_p = pad(proj["mean2d"], 0.0)
+    conic_p = pad(proj["conic"], 0.0)
+    opac_p = pad(opac, 0.0)
+    depth_p = pad(proj["depth"], 0.0)
+
+    tids = jnp.arange(T, dtype=jnp.int32)
+    px = ((tids % ntx) * ts)[:, None].astype(jnp.float32) + jnp.tile(
+        jnp.arange(ts, dtype=jnp.float32), ts
+    )[None, :]
+    py = ((tids // ntx) * ts)[:, None].astype(jnp.float32) + jnp.repeat(
+        jnp.arange(ts, dtype=jnp.float32), ts
+    )[None, :]
+
+    idx_chunks = tile_idx.reshape(T, n_chunks, Kc).transpose(1, 0, 2)
+    valid_chunks = slot_valid.reshape(T, n_chunks, Kc).transpose(1, 0, 2)
+
+    def body(carry, inp):
+        trans, dmed = carry
+        idx, sval = inp
+        m = mean2d_p[idx]
+        co = conic_p[idx]
+        op = opac_p[idx]
+        dep = depth_p[idx]
+        dx = px[:, None, :] - m[..., 0:1]
+        dy = py[:, None, :] - m[..., 1:2]
+        power = (
+            -0.5 * (co[..., 0:1] * dx * dx + co[..., 2:3] * dy * dy)
+            - co[..., 1:2] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, op[..., None] * jnp.exp(power))
+        alpha = jnp.where(
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & sval[..., None], alpha, 0.0
+        )
+        one_m = 1.0 - alpha
+        cum = jnp.cumprod(one_m, axis=1)
+        t_excl = trans[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
+        )
+        # exactly one slot per pixel takes accumulated opacity past 0.5
+        crossed = (t_excl > 0.5) & (t_excl * one_m <= 0.5)
+        dmed = dmed + jnp.where(crossed, dep[..., None], 0.0).sum(axis=1)
+        return (trans * cum[:, -1, :], dmed), None
+
+    init = (jnp.ones((T, P), jnp.float32), jnp.zeros((T, P), jnp.float32))
+    (trans, dmed), _ = jax.lax.scan(body, init, (idx_chunks, valid_chunks))
+    H, W = intr.height, intr.width
+    depth = _tiles_to_image(dmed, ntx, nty, ts, H, W)[None]
+    opacity = _tiles_to_image(1.0 - trans, ntx, nty, ts, H, W)[None]
+    return depth, opacity
 
 
 def render(

@@ -34,7 +34,7 @@ from ..eval.ate import eval_ate
 from ..eval.rendering import eval_rendering
 from ..gaussian import model as gm
 from ..io.ply import save_gaussians_ply
-from ..ops.rasterizer import RenderConfig, rasterize
+from ..ops.rasterizer import RenderConfig, rasterize, rasterize_median_depth
 from . import state as slam_state
 from .depth_alignment import process_depth
 from .keyframe import (
@@ -290,6 +290,14 @@ class SLAM:
         self.point_size = ds_cfg.get("point_size", 0.01)
         self.adaptive_pointsize = ds_cfg.get("adaptive_pointsize", True)
         self.depth_cfg = config.get("depth", {})
+        # surface-depth source for keyframe fusion / scale observation:
+        # "median" (default) renders the transmittance-median depth — the
+        # alpha-MEAN depth is unnormalized (sum of weights = opacity < 1),
+        # so every surface reads (1-opacity) shallow and the bias COMPOUNDS
+        # through the per-keyframe mono->render alignment (r4 street bench:
+        # map scale drifted 0.8 -> 0.45x GT over 34 KFs, ATE 1.9 m).
+        # "alpha" keeps the raw render-depth (reference-faithful) behavior.
+        self.depth_fusion_source = tr.get("depth_fusion_source", "median")
         self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
         if self.pose_seed_mode == "sim_prior":
             # Synthetic-bench emulation of the MASt3R-PnP prior consumes
@@ -1073,12 +1081,27 @@ class SLAM:
             self.masker.save_keyframe_overlay(cam.image, cam.static_mask, idx)
 
         self.timer.tic("kf_fusion")
+        render_depth = track_res.depth[0]
+        render_opacity = track_res.opacity[0]
+        if self.depth_fusion_source == "median":
+            # front-surface (transmittance-median) depth for the scale
+            # observation and mono->render alignment: the alpha-MEAN depth
+            # is biased behind surfaces wherever background leaks through
+            # partial opacity, and that bias compounds multiplicatively
+            # through the per-keyframe alignment (see
+            # ops/rasterizer.rasterize_median_depth). One extra dense
+            # render per keyframe.
+            md, mo = rasterize_median_depth(
+                self.gmap.params(), self.gmap.active, cam.R, cam.T,
+                self.intr, self.rcfg,
+            )
+            render_depth, render_opacity = md[0], mo[0]
         if self.pose_seed_mode == "sim_prior" or cam.depth is not None:
             # consumed by sim_prior; pure telemetry otherwise (GT depth is
             # synthetic-only, so this never fires on real datasets)
-            self._observe_map_scale(track_res.depth[0], cam)
+            self._observe_map_scale(render_depth, cam)
         depth, cam = self._fused_keyframe_depth(
-            idx, cam, track_res.depth[0], track_res.opacity[0], init=False
+            idx, cam, render_depth, render_opacity, init=False
         )
         self._phase_sync(depth)
         self.timer.toc("kf_fusion")
