@@ -50,7 +50,7 @@ if os.environ.get("JAX_PLATFORMS"):
 #  covisibility pruning ~2x more aggressive and stormed the keyframe policy;
 #  v6: ADVICE r2 — densify-propagated probe visibility, drift-triggered
 #  tracking cap re-probe, ceil'd probe weight quantization)
-BENCH_STATE_VERSION = 6
+BENCH_STATE_VERSION = 7  # v7: det floor + median-depth fusion (r4) change numerics
 WARM_FRAMES = 44  # minimum warm frames before the initialization check
 # the warm build continues past WARM_FRAMES until the SLAM system reports
 # initialized (window full + first prune) so the timed region never eats
