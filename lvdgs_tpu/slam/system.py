@@ -298,6 +298,13 @@ class SLAM:
         # map scale drifted 0.8 -> 0.45x GT over 34 KFs, ATE 1.9 m).
         # "alpha" keeps the raw render-depth (reference-faithful) behavior.
         self.depth_fusion_source = tr.get("depth_fusion_source", "median")
+        # clamp the per-keyframe mono->render alignment scale to a band
+        # around the run's initial scale — kills the monocular gauge drift
+        # (see _fused_keyframe_depth; divergence from the reference)
+        self.mono_scale_anchor = tr.get("mono_scale_anchor", True)
+        self.mono_scale_anchor_tol = tr.get("mono_scale_anchor_tol", 0.1)
+        self._anchor_scales: list = []
+        self._mono_anchor_val: Optional[float] = None
         self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
         if self.pose_seed_mode == "sim_prior":
             # Synthetic-bench emulation of the MASt3R-PnP prior consumes
@@ -733,6 +740,40 @@ class SLAM:
             min_accurate_pixels_ratio=dc.get("min_accurate_pixels_ratio", 0.01),
             remedy_fn=remedy_fn,
         )
+        if self.mono_scale_anchor:
+            # DIVERGENCE from the reference: the mono->render alignment
+            # scale is clamped to a band around the run's initial scale.
+            # The reference re-anchors mono depth to the CURRENT render
+            # every keyframe (utils/depth_utils.py process_depth), which
+            # leaves the monocular scale gauge free — photometric losses
+            # are scale-invariant and pose refinement + mapping walked the
+            # street-bench map from 0.8x to 0.37x GT scale over ~25
+            # keyframes (map_scale_history in the r4 artifacts), a
+            # non-uniform trajectory scaling Umeyama cannot correct
+            # (ATE 1.9-2.3 m). Clamping trusts the mono prior's GLOBAL
+            # scale consistency (MASt3R is metric-ish; the per-KF band
+            # still absorbs local pointmap scale variation).
+            s_raw = float(scale)
+            if self._mono_anchor_val is None:
+                self._anchor_scales.append(s_raw)
+                if len(self._anchor_scales) >= 3:
+                    self._mono_anchor_val = float(
+                        np.median(self._anchor_scales)
+                    )
+            else:
+                tol = self.mono_scale_anchor_tol
+                lo = self._mono_anchor_val * (1.0 - tol)
+                hi = self._mono_anchor_val * (1.0 + tol)
+                if not (lo <= s_raw <= hi):
+                    s_c = float(np.clip(s_raw, lo, hi))
+                    mono_scaled = cam.mono_depth * s_c
+                    thr = dc.get("final_error_threshold", 0.15)
+                    rel = jnp.abs(render_depth - mono_scaled) / (
+                        mono_scaled + 1e-8
+                    )
+                    err = (rel > thr) | (render_depth == 0.0)
+                    fused = jnp.where(err, mono_scaled, render_depth)
+                    scale = s_c
         cam = cam.replace(mono_depth=cam.mono_depth * scale)
         depth = jnp.where(valid_rgb, fused, 0.0)
         return depth, cam
@@ -1260,6 +1301,10 @@ class SLAM:
                 "rng": np.asarray(self.rng),
                 "idle_debt": self.idle_debt,
                 "last_sent": self.last_sent,
+                "anchor_scales": list(self._anchor_scales),
+                "mono_anchor_val": self._mono_anchor_val,
+                "map_scale_obs": self._map_scale_obs,
+                "scale_history": list(self._scale_history),
             },
         )
 
@@ -1295,6 +1340,14 @@ class SLAM:
         # old checkpoints predate these counters; default to a fresh cadence
         self.idle_debt = int(st.get("idle_debt", 0))
         self.last_sent = int(st.get("last_sent", 0))
+        self._anchor_scales = [float(s) for s in st.get("anchor_scales", [])]
+        mav = st.get("mono_anchor_val")
+        self._mono_anchor_val = None if mav is None else float(mav)
+        mso = st.get("map_scale_obs")
+        self._map_scale_obs = None if mso is None else float(mso)
+        self._scale_history = [
+            (int(f), float(s)) for f, s in st.get("scale_history", [])
+        ]
         self._cached_num_active = None  # restored map invalidates the cache
 
     def global_ba(self, iters: Optional[int] = None) -> None:
