@@ -653,7 +653,7 @@ def mapping_run(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "rcfg", "opt", "mcfg"),
+    static_argnames=("intr", "rcfg", "opt", "mcfg", "features_only"),
     donate_argnames=("gmap", "opt_state"),
 )
 def color_refine_run(
@@ -668,6 +668,7 @@ def color_refine_run(
     rcfg: RenderConfig,
     opt: gm.MapOptimizer,
     mcfg: MappingConfig,
+    features_only: bool = False,
 ):
     """Post-SLAM color refinement (reference utils/slam_backend.py:393-468):
     each iteration picks a random keyframe, renders it, and optimises the
@@ -701,6 +702,18 @@ def color_refine_run(
         rng, k = jax.random.split(rng)
         slot = jax.random.randint(k, (), 0, jnp.maximum(kfbuf.count, 1))
         loss, g = jax.value_and_grad(loss_fn)(gmap.params(), gmap.active, slot)
+        if features_only:
+            # geometry-frozen polish (Results.refine_features_only): the
+            # full-parameter refinement (reference parity) fits the
+            # keyframe set's positions/scales and measurably trades
+            # held-out-view PSNR for keyframe SSIM; freezing geometry
+            # makes the polish monotone on novel views
+            g = {
+                **g,
+                "means": jnp.zeros_like(g["means"]),
+                "log_scales": jnp.zeros_like(g["log_scales"]),
+                "quats": jnp.zeros_like(g["quats"]),
+            }
         gmap, opt_state = opt.step(gmap, g, opt_state, it0 + i + 1)
         return (gmap, opt_state, rng)
 

@@ -1381,9 +1381,15 @@ class SLAM:
             self.frames[kf_idx]["T"] = T[slot]
         Log("Global BA done")
 
-    def color_refinement(self, iters: Optional[int] = None) -> None:
+    def color_refinement(self, iters: Optional[int] = None,
+                         features_only: Optional[bool] = None) -> None:
         iters = iters or self.color_refinement_iters
-        Log(f"Starting color refinement ({iters} iters)")
+        if features_only is None:
+            features_only = self.config.get("Results", {}).get(
+                "refine_features_only", False
+            )
+        Log(f"Starting color refinement ({iters} iters"
+            f"{', features-only' if features_only else ''})")
         done = 0
         while done < iters:
             seg = min(iters - done, self.max_iters_per_dispatch)
@@ -1399,6 +1405,7 @@ class SLAM:
                 rcfg=self.rcfg_map,
                 opt=self.opt,
                 mcfg=self.mcfg,
+                features_only=bool(features_only),
             )
             done += seg
             self._nan_scan(f"color_refine[{done}]")

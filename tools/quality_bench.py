@@ -96,6 +96,9 @@ def main():
                     help="output JSON name under results/ (defaults to "
                          "quality_bench.json, or quality_bench_dynamic_"
                          "<mask-mode>.json with --dynamic)")
+    ap.add_argument("--refine-features-only", action="store_true",
+                    help="geometry-frozen refinement (Results."
+                         "refine_features_only): monotone on held-out views")
     ap.add_argument("--save-state", default=None,
                     help="save the post-run SLAM state (pre-refinement "
                          "when --refine 0) to this checkpoint dir")
@@ -182,7 +185,8 @@ def main():
                   max_frames=min(args.frames, args.eval_frames))
         pre_refine = {"psnr_db": round(pre["mean_psnr"], 2),
                       "ssim": round(pre["mean_ssim"], 4)}
-        slam.color_refinement(args.refine)
+        slam.color_refinement(args.refine,
+                              features_only=args.refine_features_only)
 
     # corruption scan: non-finite map params / frame poses (diagnoses NaN
     # render metrics at the source instead of poisoned means)
