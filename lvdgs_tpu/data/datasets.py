@@ -353,9 +353,16 @@ def _street_dynamic_objects(rng, scfg, z_max):
     # frame, r, g, b], ...] so tests can stage close encounters in few frames.
     archetypes = scfg.get("dynamic_archetypes") or [
         # (lane x, z at t=0, heading, vel z m/frame, tint)
+        # Ordered transient-first: oncoming cars pass and exit (the
+        # reference's demonstrable regime); the LEADING cars (ahead in our
+        # lane, never exiting) permanently occlude the center-forward
+        # corridor a masked run can then never seed — at 90 frames that
+        # unobserved hole destabilizes the masked run's window (r4:
+        # masked-run scale explosion at frame ~69), so they come last and
+        # only enter at dynamic_objects >= 3.
         (-1.75, 42.0, -1.0, -0.9 * step / 0.5, (0.75, 0.15, 0.12)),
-        (+1.75, 14.0, +1.0, +0.55 * step / 0.5, (0.15, 0.25, 0.70)),
         (-1.75, 80.0, -1.0, -1.1 * step / 0.5, (0.85, 0.80, 0.20)),
+        (+1.75, 14.0, +1.0, +0.55 * step / 0.5, (0.15, 0.25, 0.70)),
         (+1.75, 45.0, +1.0, +0.5 * step / 0.5, (0.18, 0.55, 0.25)),
     ]
     archetypes = [
