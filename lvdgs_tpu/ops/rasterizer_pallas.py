@@ -307,6 +307,91 @@ def _blend_bwd_call(tp, counts, acc, trans, dacc, dtrans, *, ntx, nty, tile_size
     return dtp[:K0, :T]
 
 
+def _make_median_kernel(tile_group: int, ntx: int, ts: int, K: int):
+    P = ts * ts
+
+    def kernel(counts_ref, tp_ref, dmed_ref, opac_ref):
+        g = pl.program_id(0)
+        px, py = _pixel_coords(g, tile_group, ntx, ts)
+        counts = counts_ref[:].astype(jnp.int32)
+        kmax = jnp.max(counts)
+
+        def cond(state):
+            k, trans, _ = state
+            # march only until every pixel's accumulated opacity crossed
+            # 0.5 — the median is then recorded; cheaper than a full blend
+            return (k < kmax) & (jnp.max(trans) > 0.5)
+
+        def body(state):
+            k, trans, dmed = state
+            ps = _slot_params_block(tp_ref, k, tile_group)
+            for u in range(UNROLL):
+                p = ps[u]
+                alpha, _G, _dx, _dy, _raw = _alpha_at(p, px, py, k + u, counts)
+                t_new = trans * (1.0 - alpha)
+                # exactly one slot per pixel takes opacity past 0.5
+                crossed = (trans > 0.5) & (t_new <= 0.5)
+                dmed = jnp.where(crossed, p[8], dmed)
+                trans = t_new
+            return k + UNROLL, trans, dmed
+
+        _k, trans, dmed = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros((), jnp.int32),
+             jnp.ones((tile_group, P), jnp.float32),
+             jnp.zeros((tile_group, P), jnp.float32)),
+        )
+        dmed_ref[:] = dmed
+        opac_ref[:] = 1.0 - trans
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntx", "nty", "tile_size", "tile_group", "interpret")
+)
+def pallas_median_depth(tp, counts, *, ntx, nty, tile_size, tile_group,
+                        interpret):
+    """Transmittance-median (front-surface) depth: the z of the first slot
+    at which accumulated opacity crosses 0.5. Forward-only (no VJP; the
+    consumer treats it as a measurement). Returns ((T, P) depth — 0 where
+    the pixel never reaches opacity 0.5 — and (T, P) opacity at the march's
+    stop point: exact where the pixel never crossed, >= 0.5 otherwise)."""
+    K0, T, _ = tp.shape
+    K = -(-K0 // UNROLL) * UNROLL
+    if K != K0:
+        tp = jnp.pad(tp, ((0, K - K0), (0, 0), (0, 0)))
+    ts = tile_size
+    P = ts * ts
+    TG = tile_group
+    n_groups = -(-T // TG)
+    T_pad = n_groups * TG
+    if T_pad != T:
+        tp = jnp.pad(tp, ((0, 0), (0, T_pad - T), (0, 0)))
+        counts = jnp.pad(counts, (0, T_pad - T))
+
+    kernel = _make_median_kernel(TG, ntx, ts, K)
+    dmed, opac = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TG, NF), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TG, P), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TG, P), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts[:, None].astype(jnp.int32), tp)
+    return dmed[:T], opac[:T]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def pallas_blend(tp, counts, ntx, nty, tile_size, tile_group, interpret):
     """Front-to-back blend of pre-gathered tile params.

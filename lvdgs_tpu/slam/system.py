@@ -568,11 +568,18 @@ class SLAM:
         """sim_prior only: record median(rendered depth / GT depth) at a new
         keyframe — the map's metric scale as the real PnP prior experiences
         it. One host fetch per keyframe, gated off the per-frame hot path."""
-        rd = np.asarray(render_depth)
-        gd = np.asarray(cam.depth)
-        ok = (rd > 0.1) & (gd > 0.1) & np.isfinite(rd) & np.isfinite(gd)
-        if ok.sum() >= 100:
-            self._map_scale_obs = float(np.median(rd[ok] / gd[ok]))
+        # median computed ON DEVICE; fetch two scalars (fetching the two
+        # full-res depth images instead costs ~1 s/KF through the relay —
+        # it silently dominated kf_fusion in the r4 bench)
+        rd = jnp.asarray(render_depth)
+        gd = jnp.asarray(cam.depth)
+        ok = (rd > 0.1) & (gd > 0.1) & jnp.isfinite(rd) & jnp.isfinite(gd)
+        ratio = jnp.where(ok, rd / jnp.maximum(gd, 1e-6), jnp.nan)
+        packed = np.asarray(jnp.stack(
+            [jnp.nanmedian(ratio), ok.sum().astype(jnp.float32)]
+        ))
+        if packed[1] >= 100 and np.isfinite(packed[0]):
+            self._map_scale_obs = float(packed[0])
             # drift telemetry: (frame, scale) per keyframe — quality_bench
             # emits this so map-scale drift (the dominant monocular ATE
             # contributor) is diagnosable from committed artifacts

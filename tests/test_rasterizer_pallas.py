@@ -277,3 +277,106 @@ def test_blend_bf16_close_to_f32():
         vb = np.asarray(gb[field]).ravel()
         cos = np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)
         assert cos > 0.999, f"{field}: grad cosine {cos}"
+
+
+def test_median_depth_kernel_matches_scan():
+    """pallas_median_depth (interpret mode) vs the XLA-scan fallback in
+    rasterize_median_depth: identical crossing depths on every pixel."""
+    from lvdgs_tpu.ops.rasterizer import (
+        bin_gaussians, project_gaussians, rasterize_median_depth,
+        _tiles_to_image,
+    )
+    from lvdgs_tpu.ops.rasterizer_pallas import pallas_median_depth
+
+    params, active = make_scene(120, seed=3)
+    R, t = jnp.eye(3), jnp.zeros(3)
+    # scan fallback (the CPU default inside rasterize_median_depth)
+    dmed_scan, opac_scan = rasterize_median_depth(
+        params, active, R, t, INTR, CFG_XLA
+    )
+
+    ntx, nty = CFG_XLA.grid(INTR)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active, R, t,
+        INTR,
+    )
+    opac = jnp.where(active, jax.nn.sigmoid(params["logit_opacities"]), 0.0)
+    tile_idx, slot_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"],
+        ntx=ntx, nty=nty, tile_size=CFG_XLA.tile_size,
+        max_per_tile=CFG_XLA.max_per_tile, tile_chunk=CFG_XLA.tile_chunk,
+        coarse_factor=CFG_XLA.coarse_factor,
+        max_per_coarse=CFG_XLA.max_per_coarse,
+        use_approx_topk=CFG_XLA.use_approx_topk,
+        approx_recall=CFG_XLA.approx_recall,
+    )
+    C = proj["mean2d"].shape[0]
+    padr = lambda a: jnp.concatenate(  # noqa: E731
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0
+    )
+    fields = jnp.concatenate(
+        [padr(proj["mean2d"]), padr(proj["conic"]),
+         jnp.zeros((C + 1, 3), jnp.float32),
+         padr(proj["depth"][:, None]), padr(opac[:, None])], axis=1,
+    )
+    tp = fields[jnp.minimum(tile_idx, C).T]
+    counts = slot_valid.sum(axis=1).astype(jnp.int32)
+    dmed_t, opac_t = pallas_median_depth(
+        tp, counts, ntx=ntx, nty=nty, tile_size=CFG_XLA.tile_size,
+        tile_group=4, interpret=True,
+    )
+    dmed_k = _tiles_to_image(dmed_t, ntx, nty, CFG_XLA.tile_size,
+                             INTR.height, INTR.width)[None]
+    np.testing.assert_allclose(
+        np.asarray(dmed_k), np.asarray(dmed_scan), atol=1e-5
+    )
+    # opacity agrees wherever the march did NOT early-exit (never-crossed
+    # pixels); crossed pixels stop at >= 0.5 by design
+    crossed = np.asarray(dmed_scan[0]) > 0
+    ok = ~crossed
+    np.testing.assert_allclose(
+        np.asarray(_tiles_to_image(opac_t, ntx, nty, CFG_XLA.tile_size,
+                                   INTR.height, INTR.width))[ok],
+        np.asarray(opac_scan[0])[ok], atol=1e-5,
+    )
+
+
+def test_median_depth_front_surface_semantics():
+    """Two-wall scene: alpha-mean depth lands off the front surface; the
+    median depth sits exactly on it (the scale-alignment measurement the
+    SLAM loop consumes — see rasterize_median_depth docstring)."""
+    from lvdgs_tpu.ops.rasterizer import rasterize_median_depth
+
+    rng = np.random.default_rng(0)
+
+    def wall(z, n, op):
+        xs = rng.uniform(-3, 3, n)
+        ys = rng.uniform(-2, 2, n)
+        return np.stack([xs, ys, np.full(n, z)], 1), np.full(n, op)
+
+    m1, o1 = wall(5.0, 300, 0.6)
+    m2, o2 = wall(10.0, 300, 0.95)
+    op = np.concatenate([o1, o2])
+    params = {
+        "means": jnp.asarray(np.concatenate([m1, m2]), jnp.float32),
+        "features_dc": jnp.zeros((600, 3), jnp.float32),
+        "log_scales": jnp.full((600, 3), np.log(0.3), jnp.float32),
+        "quats": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (600, 1)),
+        "logit_opacities": jnp.asarray(np.log(op / (1 - op)), jnp.float32),
+    }
+    active = jnp.ones((600,), bool)
+    out = rasterize(params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_XLA)
+    md, _ = rasterize_median_depth(
+        params, active, jnp.eye(3), jnp.zeros(3), INTR, CFG_XLA
+    )
+    opac = np.asarray(out.opacity[0])
+    mdn = np.asarray(md[0])
+    sel = (opac > 0.95) & (mdn > 0)
+    assert sel.sum() > 100
+    # the median depth sits ON the front surface; the alpha-mean is pulled
+    # off it (by (1-opacity) shallow + back-wall deep leakage — magnitude
+    # depends on surfel density, direction on which term dominates)
+    md_err = abs(np.median(mdn[sel]) - 5.0)
+    ad_err = abs(np.median(np.asarray(out.depth[0])[sel]) - 5.0)
+    assert md_err < 0.2, md_err
+    assert ad_err > md_err + 0.05, (ad_err, md_err)
