@@ -62,6 +62,16 @@ def _scale_obs_device(rd: jax.Array, gd: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("thr",))
+def _anchor_refuse(render_depth, mono, scale, *, thr: float):
+    """Re-fuse depth at the CLAMPED anchor scale (one dispatch; see
+    mono_scale_anchor in _fused_keyframe_depth)."""
+    mono_scaled = mono * scale
+    rel = jnp.abs(render_depth - mono_scaled) / (mono_scaled + 1e-8)
+    err = (rel > thr) | (render_depth == 0.0)
+    return jnp.where(err, mono_scaled, render_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("thr",))
 def _fusion_finalize(image, mono, fused, scale, *, thr: float):
     """Maskless fusion tail (valid-RGB gate + mono rescale) as one
     dispatch instead of four eager relay round-trips."""
@@ -792,13 +802,11 @@ class SLAM:
                 hi = self._mono_anchor_val * (1.0 + tol)
                 if not (lo <= s_raw <= hi):
                     s_c = float(np.clip(s_raw, lo, hi))
-                    mono_scaled = cam.mono_depth * s_c
-                    thr = dc.get("final_error_threshold", 0.15)
-                    rel = jnp.abs(render_depth - mono_scaled) / (
-                        mono_scaled + 1e-8
+                    fused = _anchor_refuse(
+                        jnp.asarray(render_depth), cam.mono_depth,
+                        jnp.asarray(s_c, jnp.float32),
+                        thr=dc.get("final_error_threshold", 0.15),
                     )
-                    err = (rel > thr) | (render_depth == 0.0)
-                    fused = jnp.where(err, mono_scaled, render_depth)
                     scale = s_c
         if valid_rgb is None:
             # maskless steady state: one dispatch for the whole tail
