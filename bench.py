@@ -356,11 +356,21 @@ def main():
             DynamicObjectMasker, IntervalMasker)
 
         log("perception mode: building production-size models (random weights)")
-        mast3r = MASt3RInference(_mi(_jax.random.PRNGKey(0), MASt3RConfig()),
-                                 MASt3RConfig())
-        gdino = GroundingDINODetector(_gdi(_jax.random.PRNGKey(1),
-                                           GroundingDINOConfig()))
-        sam = SAMSegmenter(_si(_jax.random.PRNGKey(2), SAMConfig()))
+        # bf16 weights: the three perception nets (~950M params) at f32 plus
+        # the SLAM state exceed one v5e's HBM (ResourceExhausted, r4); bf16
+        # halves them and is the production-realistic serving dtype on TPU
+        _bf16 = lambda p: _jax.tree_util.tree_map(  # noqa: E731
+            lambda a: a.astype(_jax.numpy.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == _jax.numpy.float32 else a,
+            p,
+        )
+        mast3r = MASt3RInference(
+            _bf16(_mi(_jax.random.PRNGKey(0), MASt3RConfig())), MASt3RConfig()
+        )
+        gdino = GroundingDINODetector(
+            _bf16(_gdi(_jax.random.PRNGKey(1), GroundingDINOConfig()))
+        )
+        sam = SAMSegmenter(_bf16(_si(_jax.random.PRNGKey(2), SAMConfig())))
 
         # host-side frame cache: real datasets feed from disk; the synthetic
         # dataset lives on device and a full-frame fetch costs ~3 s through

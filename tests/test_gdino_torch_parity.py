@@ -8,7 +8,8 @@ is stubbed — identity at drop_path=0, the inference regime).
 Identical random weights are pushed through both implementations; outputs
 must agree to ~1e-5 (float32 reduction-order noise).
 """
-import importlib.util
+
+
 import sys
 import types
 
@@ -21,39 +22,32 @@ REF = "/root/reference/GroundingDINO-main/groundingdino/models/GroundingDINO"
 
 
 def _load_ref_module(name: str):
-    """importlib-load a reference module file standalone (no package)."""
-    if "timm.models.layers" not in sys.modules:
-        # fuse_modules imports DropPath from timm (absent here); at
-        # drop_path=0 the reference wraps nn.Identity instead, so a stub
-        # that is never instantiated suffices
-        timm = types.ModuleType("timm")
-        models = types.ModuleType("timm.models")
-        layers = types.ModuleType("timm.models.layers")
+    """importlib-load a reference module file standalone (no package).
 
-        class DropPath(torch.nn.Identity):
-            def __init__(self, drop_prob=0.0):
-                super().__init__()
-
-        layers.DropPath = DropPath
-        models.layers = layers
-        timm.models = models
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = models
-        sys.modules["timm.models.layers"] = layers
-    # transformer_vanilla does `from .utils import ...`: load it under a
-    # synthetic package whose __path__ points at the reference directory
+    fuse_modules imports DropPath from timm (absent here); at drop_path=0
+    the reference wraps nn.Identity instead, so the import line is patched
+    to an Identity alias at load time — stubbing timm in sys.modules
+    corrupts transformers' package probing in shared-process test runs."""
     pkg_name = "refgdino"
     if pkg_name not in sys.modules:
+        # transformer_vanilla does `from .utils import ...`: load it under
+        # a synthetic package whose __path__ is the reference directory
         pkg = types.ModuleType(pkg_name)
         pkg.__path__ = [REF]
         sys.modules[pkg_name] = pkg
     full = f"{pkg_name}.{name}"
     if full in sys.modules:
         return sys.modules[full]
-    spec = importlib.util.spec_from_file_location(full, f"{REF}/{name}.py")
-    mod = importlib.util.module_from_spec(spec)
+    path = f"{REF}/{name}.py"
+    src = open(path).read().replace(
+        "from timm.models.layers import DropPath",
+        "import torch.nn; DropPath = torch.nn.Identity",
+    )
+    mod = types.ModuleType(full)
+    mod.__file__ = path
+    mod.__package__ = pkg_name
     sys.modules[full] = mod
-    spec.loader.exec_module(mod)
+    exec(compile(src, path, "exec"), mod.__dict__)
     return mod
 
 
