@@ -60,7 +60,8 @@ def dinov2_forward(params, img, cfg: DINOv2Config):
     B, _, H, W = img.shape
     ps = cfg.patch_size
     x = jax.lax.conv_general_dilated(
-        img, params["patch_embed"]["weight"], (ps, ps), "VALID",
+        img.astype(params["patch_embed"]["weight"].dtype),
+        params["patch_embed"]["weight"], (ps, ps), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     ) + params["patch_embed"]["bias"][None, :, None, None]
     h, w = x.shape[2], x.shape[3]

@@ -235,14 +235,16 @@ def groundingdino_forward(params, img, input_ids, text_self_mask, text_pad_mask,
     srcs = []
     for i, f in enumerate(feats):
         x = jax.lax.conv_general_dilated(
-            f, params["input_proj"][i]["weight"], (1, 1), "SAME",
+            f.astype(params["input_proj"][i]["weight"].dtype),
+            params["input_proj"][i]["weight"], (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         ) + params["input_proj"][i]["bias"][None, :, None, None]
         x = _group_norm(x, params["input_proj"][i]["gn"])
         srcs.append(x)
     # extra level: stride-2 conv on the last backbone map
     x = jax.lax.conv_general_dilated(
-        feats[-1], params["input_proj"][3]["weight"], (2, 2), "SAME",
+        feats[-1].astype(params["input_proj"][3]["weight"].dtype),
+        params["input_proj"][3]["weight"], (2, 2), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     ) + params["input_proj"][3]["bias"][None, :, None, None]
     srcs.append(_group_norm(x, params["input_proj"][3]["gn"]))

@@ -139,7 +139,8 @@ def swin_forward(img, params, cfg: SwinConfig) -> List[jax.Array]:
     out_indices stages."""
     B, _, H, W = img.shape
     x = jax.lax.conv_general_dilated(
-        img, params["patch_embed"]["weight"], (cfg.patch_size, cfg.patch_size),
+        img.astype(params["patch_embed"]["weight"].dtype),
+        params["patch_embed"]["weight"], (cfg.patch_size, cfg.patch_size),
         "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
     ) + params["patch_embed"]["bias"][None, :, None, None]
     h, w = x.shape[2], x.shape[3]

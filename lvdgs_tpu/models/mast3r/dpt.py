@@ -19,7 +19,7 @@ LAYER_DIMS = (96, 192, 384, 768)
 
 def _conv(x, p, stride=1, padding="SAME"):
     out = jax.lax.conv_general_dilated(
-        x,
+        x.astype(p["weight"].dtype),
         p["weight"],
         window_strides=(stride, stride),
         padding=padding,

@@ -145,7 +145,7 @@ def patch_embed(img, p, patch_size=16):
     """img: (B, 3, H, W) -> tokens (B, N, D), positions (N, 2) as (y, x)."""
     B, C, H, W = img.shape
     out = jax.lax.conv_general_dilated(
-        img,
+        img.astype(p["proj"]["weight"].dtype),
         p["proj"]["weight"],  # (D, 3, ps, ps)
         window_strides=(patch_size, patch_size),
         padding="VALID",

@@ -136,7 +136,7 @@ def _layer_norm_2d(x, p, eps=1e-6):
 
 def _conv(x, p, stride=1, padding="SAME"):
     out = jax.lax.conv_general_dilated(
-        x, p["weight"], (stride, stride), padding,
+        x.astype(p["weight"].dtype), p["weight"], (stride, stride), padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     if "bias" in p:
@@ -149,7 +149,8 @@ def sam_encode_image(params, img, cfg: SAMConfig):
     """img: (B, 3, S, S) already SAM-normalised. -> (B, 256, S/16, S/16)."""
     p = params["image_encoder"]
     x = jax.lax.conv_general_dilated(
-        img, p["patch_embed"]["weight"], (cfg.patch_size, cfg.patch_size), "VALID",
+        img.astype(p["patch_embed"]["weight"].dtype),
+        p["patch_embed"]["weight"], (cfg.patch_size, cfg.patch_size), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     ) + p["patch_embed"]["bias"][None, :, None, None]
     x = x.transpose(0, 2, 3, 1)  # (B, h, w, D)
