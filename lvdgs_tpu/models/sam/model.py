@@ -271,13 +271,15 @@ def sam_predict_masks(params, image_embedding, boxes, cfg: SAMConfig):
     # upscale image features 4x
     feat = keys.transpose(0, 2, 1).reshape(B, D, h, w)
     x = jax.lax.conv_transpose(
-        feat, dec["upscale"]["conv1"]["weight"], (2, 2), "VALID",
+        feat.astype(dec["upscale"]["conv1"]["weight"].dtype),
+        dec["upscale"]["conv1"]["weight"], (2, 2), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True,
     ) + dec["upscale"]["conv1"]["bias"][None, :, None, None]
     x = _layer_norm_2d(x, dec["upscale"]["ln"])
     x = jax.nn.gelu(x, approximate=False)
     x = jax.lax.conv_transpose(
-        x, dec["upscale"]["conv2"]["weight"], (2, 2), "VALID",
+        x.astype(dec["upscale"]["conv2"]["weight"].dtype),
+        dec["upscale"]["conv2"]["weight"], (2, 2), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True,
     ) + dec["upscale"]["conv2"]["bias"][None, :, None, None]
     x = jax.nn.gelu(x, approximate=False)  # (B, D/8, 4h, 4w)
