@@ -107,6 +107,7 @@ class DynamicObjectMasker:
         sam_checkpoint: Optional[str] = None,
         temporal_window: int = 5,
         use_ground_segmentation: bool = False,
+        max_dynamic_ratio: float = 0.7,
     ):
         self.use_ground_segmentation = use_ground_segmentation and cv2 is not None
         self.prompt_manager = ScenePromptManager(scene_type)
@@ -120,6 +121,8 @@ class DynamicObjectMasker:
         self._mask_history: deque = deque(maxlen=temporal_window)
         self._prev_gray: Optional[np.ndarray] = None
         self._warned = False
+        self._warned_saturated = False
+        self.max_dynamic_ratio = max_dynamic_ratio
 
         if detector is None and grounding_dino_checkpoint:
             self.detector = self._try_load_grounding_dino(grounding_dino_checkpoint)
@@ -287,6 +290,24 @@ class DynamicObjectMasker:
                 dynamic = dynamic & ~ground
             except Exception:
                 pass
+
+        if dynamic.mean() > self.max_dynamic_ratio:
+            # hallucination failsafe: a detector claiming most of the frame
+            # is moving is almost certainly wrong (untrained/broken weights,
+            # prompt mismatch), and acting on it starves seeding/covisibility
+            # and collapses the map (r4 perception bench: capacity thrash +
+            # recompiles). Reject the mask; the health-warning ladder in
+            # SLAM._fused_keyframe_depth still surfaces marginal cases.
+            if not self._warned_saturated:
+                self._warned_saturated = True
+                from ..core.log import Log
+
+                Log(
+                    f"WARNING: dynamic mask covers {dynamic.mean():.0%} "
+                    f"(> {self.max_dynamic_ratio:.0%}) — rejecting as "
+                    "detector hallucination; frame treated as static"
+                )
+            dynamic = np.zeros_like(dynamic)
 
         static = ~dynamic
         if self.save_images:
