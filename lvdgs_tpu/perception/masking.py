@@ -256,6 +256,12 @@ class DynamicObjectMasker:
                 )
                 keep = scores >= self.box_threshold
                 boxes, scores = boxes[keep], scores[keep]
+                if len(boxes) > 32:
+                    # score-ranked cap: realistic scenes have < 10 dynamic
+                    # objects; an untrained/misfiring detector can emit
+                    # hundreds, and box count drives SAM's compile buckets
+                    order = np.argsort(-scores)[:32]
+                    boxes, scores = boxes[order], scores[order]
                 if len(boxes):
                     dynamic, gd_mask, sam_mask = self._boxes_to_mask(
                         img_u8, boxes
