@@ -132,6 +132,10 @@ class OracleLadderMasker(DynamicObjectMasker):
         det = OracleDetector(dataset)
         seg = OracleSegmenter(dataset)
         kwargs.setdefault("use_sam", True)
+        # the hallucination failsafe guards against broken DETECTORS; these
+        # hooks are GT-derived, and a close-passing truck can legitimately
+        # cover most of a small test frame
+        kwargs.setdefault("max_dynamic_ratio", 1.01)
         super().__init__(detector=det, segmenter=seg, **kwargs)
         self._oracle_det = det
         self._oracle_seg = seg
