@@ -156,3 +156,45 @@ def test_background_color():
     out = rasterize(params, active, jnp.eye(3), jnp.array([0.0, 0.0, -100.0]), INTR, cfg_w)
     # gaussians pushed behind the camera -> pure background
     np.testing.assert_allclose(np.asarray(out.image), 1.0, atol=1e-6)
+
+
+def test_degenerate_covariance_gradients_stay_finite():
+    """r4 regression: a denormal-determinant 2D covariance (extremely
+    anisotropic gaussian viewed edge-on) used to pass the det>0 cull and
+    overflow the conic/backward 1/det^2 chain — one such gaussian NaN'd
+    the whole map through a single Adam step. The projection now culls
+    det <= 1e-6; gradients through a scene seeded with degenerate members
+    must stay finite for every parameter."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n = 64
+    means = np.concatenate(
+        [rng.normal(size=(n, 2)) * 1.0, rng.uniform(2.0, 5.0, size=(n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    log_scales = rng.uniform(-2.5, -1.0, size=(n, 3)).astype(np.float32)
+    # a handful of degenerate members: two axes collapsed to ~0 scale
+    log_scales[:8, 1:] = -18.0
+    params = {
+        "means": jnp.asarray(means),
+        "features_dc": jnp.asarray(rng.normal(size=(n, 3)) * 0.5, jnp.float32),
+        "log_scales": jnp.asarray(log_scales),
+        "quats": jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        "logit_opacities": jnp.asarray(
+            rng.uniform(0.0, 3.0, size=(n,)), jnp.float32
+        ),
+    }
+    active = jnp.ones((n,), bool)
+    intr = Intrinsics(fx=80.0, fy=80.0, cx=32.0, cy=24.0, width=64, height=48)
+    cfg = RenderConfig(tile_size=16, max_per_tile=64, gaussian_chunk=8,
+                       tile_chunk=16)
+
+    def loss(p):
+        out = rasterize(p, active, jnp.eye(3), jnp.zeros(3), intr, cfg)
+        return jnp.abs(out.image).mean() + jnp.abs(out.depth).mean()
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grad in {k}"
