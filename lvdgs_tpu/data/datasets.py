@@ -336,7 +336,7 @@ def _car_cluster(rng, x0, y_ground, z0, heading, tint, length=4.2, width=1.8,
     return m, np.clip(c, 0.0, 1.0), s
 
 
-def _street_dynamic_objects(rng, scfg, z_max):
+def _street_dynamic_objects(rng, scfg):
     """Moving objects for the dynamic street bench (VERDICT r3 #3): car
     clusters on linear paths in the reference's own problem domain
     (utils/slam_frontend.py:832-1183 exists to mask exactly these).
@@ -547,9 +547,7 @@ class SyntheticDataset:
             # compile); per-frame motion only rewrites their means slice
             from ..gaussian.model import SH_C0
 
-            step_len = scfg.get("step", 0.5)
-            z_ahead = scfg.get("n_frames", 120) * step_len
-            dyns = _street_dynamic_objects(rng, scfg, z_ahead)
+            dyns = _street_dynamic_objects(rng, scfg)
             if dyns:
                 dm = np.concatenate([d["means"] for d in dyns])
                 dc = np.concatenate([d["colors"] for d in dyns])

@@ -1462,16 +1462,18 @@ def rasterize_median_depth(
     at which accumulated opacity crosses 0.5. Returns ((1,H,W) depth,
     (1,H,W) opacity); pixels whose opacity never reaches 0.5 get depth 0.
 
-    WHY: the alpha-blended depth output is a transmittance-weighted MEAN —
-    background visible through a partially-opaque surface pulls it behind
-    the surface. Harmless for losses, but the per-keyframe mono->render
-    scale alignment (slam/depth_alignment.py) and the PnP unprojection
+    WHY: the alpha-blended depth output is an UNNORMALIZED transmittance-
+    weighted sum (sum of blend weights = accumulated opacity < 1), so a
+    surface with opacity o reads ~(1-o) SHALLOW. Harmless for losses, but
+    the per-keyframe mono->render scale alignment
+    (slam/depth_alignment.py) and the PnP unprojection
     (mast3r/inference.py:_pose_from_preds) treat rendered depth as a
-    surface measurement, and a small systematic deep bias COMPOUNDS
-    multiplicatively through the alignment feedback (r4 street bench: map
-    scale drifted 0.8 -> 1.9x GT over 34 keyframes, ATE 1.9 m of a 42 m
-    trajectory). Non-differentiable by design (stop-gradient semantics);
-    dense blend only — keyframe-cadence cost."""
+    surface measurement, and the systematic shallow bias COMPOUNDS
+    multiplicatively through the alignment feedback (measured, r4 street
+    bench: map scale drifted 0.80 -> 0.445x GT over 34 keyframes — the
+    same incident reads 1.91 as a Umeyama scale CORRECTION — ATE 1.9 m of
+    a 42 m trajectory). Non-differentiable by design (stop-gradient
+    semantics); dense blend only — keyframe-cadence cost."""
     ntx, nty = cfg.grid(intr)
     params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
     R = jax.lax.stop_gradient(R)
@@ -1528,6 +1530,7 @@ def rasterize_median_depth(
 
     Kc = cfg.gaussian_chunk
     n_chunks = K // Kc
+    assert n_chunks * Kc == K, "max_per_tile must be divisible by gaussian_chunk"
     pad = lambda arr, v: jnp.concatenate(  # noqa: E731
         [arr, jnp.full((1,) + arr.shape[1:], v, arr.dtype)], 0
     )

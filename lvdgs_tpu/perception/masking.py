@@ -285,24 +285,15 @@ class DynamicObjectMasker:
                 motion_mask = self._flow_motion_mask(img_u8)
                 dynamic = self._refine_with_motion(img_u8, dynamic, motion_mask)
 
-        dynamic = self._temporal_consistency(dynamic)
-        self._update_flow_state(img_u8)
-
-        if self.use_ground_segmentation:
-            # ground is always static; also trims vehicle-shadow bleed into
-            # the road (reference slam_frontend_0817.py:1779-1790)
-            try:
-                ground = segment_ground(img_u8)
-                dynamic = dynamic & ~ground
-            except Exception:
-                pass
-
         if dynamic.mean() > self.max_dynamic_ratio:
             # hallucination failsafe: a detector claiming most of the frame
             # is moving is almost certainly wrong (untrained/broken weights,
             # prompt mismatch), and acting on it starves seeding/covisibility
             # and collapses the map (r4 perception bench: capacity thrash +
-            # recompiles). Reject the mask; the health-warning ladder in
+            # recompiles). Reject the RAW per-frame mask BEFORE it enters the
+            # temporal-median history — otherwise one hallucinated frame
+            # biases the median vote of the next temporal_window-1 frames
+            # (ADVICE r4). The health-warning ladder in
             # SLAM._fused_keyframe_depth still surfaces marginal cases.
             if not self._warned_saturated:
                 self._warned_saturated = True
@@ -314,6 +305,18 @@ class DynamicObjectMasker:
                     "detector hallucination; frame treated as static"
                 )
             dynamic = np.zeros_like(dynamic)
+
+        dynamic = self._temporal_consistency(dynamic)
+        self._update_flow_state(img_u8)
+
+        if self.use_ground_segmentation:
+            # ground is always static; also trims vehicle-shadow bleed into
+            # the road (reference slam_frontend_0817.py:1779-1790)
+            try:
+                ground = segment_ground(img_u8)
+                dynamic = dynamic & ~ground
+            except Exception:
+                pass
 
         static = ~dynamic
         if self.save_images:
