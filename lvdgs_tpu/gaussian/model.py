@@ -590,6 +590,33 @@ class MapOptimizer:
         return gmap.with_params(new_params), AdamState(m=new_m, v=new_v, count=count)
 
 
+@jax.jit
+def gauge_rescale(gmap: GaussianMap, opt_state: "AdamState", k: jax.Array):
+    """Similarity-rescale the map about the world origin by factor ``k``
+    (means *= k, scales *= k). With camera translations rescaled by the same
+    factor (the caller's job), every rendered image is IDENTICAL and depth
+    scales by exactly k — the monocular gauge freedom. Used by the SLAM
+    system's mono-scale servo to pin the free gauge to the mono prior's
+    global scale instead of letting mapping/pose refinement walk it
+    (r4 street bench: 0.80 -> ~0.50 over 90 frames; PERFORMANCE.md).
+
+    Adam moments for ``means`` are EMAs of dL/dmeans, which scales by 1/k
+    under the reparametrization — rescale m by 1/k and v by 1/k² so the
+    next steps see consistent statistics. ``log_scales`` shift additively
+    (gradients unchanged); other fields are gauge-invariant.
+    """
+    k = jnp.asarray(k, jnp.float32)
+    gmap = gmap.replace(
+        means=gmap.means * k,
+        log_scales=gmap.log_scales + jnp.log(k),
+    )
+    m = dict(opt_state.m)
+    v = dict(opt_state.v)
+    m["means"] = m["means"] / k
+    v["means"] = v["means"] / (k * k)
+    return gmap, AdamState(m=m, v=v, count=opt_state.count)
+
+
 @functools.partial(jax.jit, static_argnames=("new_capacity",))
 def grow_capacity(
     gmap: GaussianMap,

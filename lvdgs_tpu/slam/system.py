@@ -332,6 +332,18 @@ class SLAM:
         # (see _fused_keyframe_depth; divergence from the reference)
         self.mono_scale_anchor = tr.get("mono_scale_anchor", True)
         self.mono_scale_anchor_tol = tr.get("mono_scale_anchor_tol", 0.1)
+        # gauge SERVO (r5): instead of only clamping the mono rescale (a
+        # spring the r4 bench showed still lets the gauge walk 0.80 -> ~0.50),
+        # apply the exact photometrically-invariant similarity rescale to
+        # the whole world whenever the alignment scale drifts off the anchor
+        # — see _apply_gauge_correction
+        self.mono_scale_servo = tr.get("mono_scale_servo", True)
+        self.mono_scale_servo_deadband = tr.get("mono_scale_servo_deadband", 0.02)
+        # map-scale drift telemetry on datasets that carry a depth channel
+        # (RGB-D included): one extra device dispatch + 2-float fetch per
+        # keyframe. Off -> only the sim_prior path (which CONSUMES the
+        # observation) still records it.
+        self.scale_telemetry = tr.get("scale_telemetry", True)
         self._anchor_scales: list = []
         self._mono_anchor_val: Optional[float] = None
         self.pose_seed_mode = tr.get("pose_seed", "constant_velocity")
@@ -608,6 +620,10 @@ class SLAM:
             # emits this so map-scale drift (the dominant monocular ATE
             # contributor) is diagnosable from committed artifacts
             self._scale_history.append((int(cam.uid), self._map_scale_obs))
+            # bound the telemetry (it is serialized into checkpoints): keep
+            # the most recent window — drift diagnosis reads the tail
+            if len(self._scale_history) > 4096:
+                del self._scale_history[:-4096]
 
     def _pose_seed(self, idx: int, cam: Camera) -> Camera:
         if self.pose_prior is not None:
@@ -796,6 +812,25 @@ class SLAM:
                     self._mono_anchor_val = float(
                         np.median(self._anchor_scales)
                     )
+            elif self.mono_scale_servo and np.isfinite(s_raw) and s_raw > 0:
+                # gauge SERVO (r5, divergence): s_raw drifting off the
+                # anchor means the free monocular gauge has walked — the
+                # map+trajectory are the thing that moved, not the mono
+                # prior (which is globally consistent by construction).
+                # Rescale the WHOLE world by k = anchor/s_raw: an exact
+                # photometric invariant (gaussian/model.py:gauge_rescale),
+                # so the correction is loss-neutral and the alignment scale
+                # returns to the anchor instead of compounding (the r4
+                # clamp was a spring; the bench gauge still bottomed at
+                # ~0.52 of birth scale — PERFORMANCE.md r4).
+                drift = s_raw / self._mono_anchor_val
+                if abs(drift - 1.0) > self.mono_scale_servo_deadband:
+                    k = float(np.clip(1.0 / drift, 0.5, 2.0))
+                    cam = self._apply_gauge_correction(k, cam)
+                    # the fused depth was assembled in the OLD gauge from
+                    # (render, mono*s_raw); both terms scale by k exactly
+                    fused = fused * jnp.float32(k)
+                    scale = s_raw * k
             else:
                 tol = self.mono_scale_anchor_tol
                 lo = self._mono_anchor_val * (1.0 - tol)
@@ -818,6 +853,42 @@ class SLAM:
         cam = cam.replace(mono_depth=cam.mono_depth * scale)
         depth = jnp.where(valid_rgb, fused, 0.0)
         return depth, cam
+
+    def _apply_gauge_correction(self, k: float, cam: Camera) -> Camera:
+        """Mono-scale servo: similarity-rescale the entire estimated world
+        by ``k`` about the origin — map means/scales (+ Adam moments),
+        keyframe-buffer poses and stored mono depths, the live window
+        cameras, the recorded trajectory, and the map-scale observation.
+        Rendering is exactly invariant under this transform (monocular
+        gauge freedom), so it is loss-neutral; it pins the gauge to the
+        mono prior's global scale. Returns the current camera in the new
+        gauge. GT quantities (T_gt, cam.depth) are never touched."""
+        kj = jnp.float32(k)
+        self.gmap, self.opt_state = gm.gauge_rescale(
+            self.gmap, self.opt_state, kj
+        )
+        self.kfbuf = self.kfbuf.replace(
+            T=self.kfbuf.T * kj, mono_depth=self.kfbuf.mono_depth * kj
+        )
+        # live window cameras feed the pose prior / scale remedy; evicted
+        # keyframes' Camera objects have no further consumers (mapping reads
+        # kfbuf, eval reads self.frames)
+        for i in self.current_window:
+            c = self._cams.get(i)
+            if c is not None:
+                self._cams[i] = c.replace(
+                    T=c.T * kj, mono_depth=c.mono_depth * kj
+                )
+        # the whole recorded trajectory moves with the gauge so the estimate
+        # history stays internally consistent (host numpy — cheap)
+        for f in self.frames.values():
+            f["T"] = np.asarray(f["T"], np.float32) * k
+        if self._map_scale_obs is not None:
+            self._map_scale_obs = float(self._map_scale_obs) * k
+        self.median_depth = float(self.median_depth) * k
+        Log(f"gauge servo: world rescaled by {k:.4f} "
+            f"(alignment scale back to anchor {self._mono_anchor_val:.4f})")
+        return cam.replace(T=cam.T * kj)
 
     def _grow_to(self, target: int) -> None:
         cap = self.gmap.capacity
@@ -1178,9 +1249,13 @@ class SLAM:
                 self.intr, self.rcfg,
             )
             render_depth, render_opacity = md[0], mo[0]
-        if self.pose_seed_mode == "sim_prior" or cam.depth is not None:
-            # consumed by sim_prior; pure telemetry otherwise (GT depth is
-            # synthetic-only, so this never fires on real datasets)
+        if self.pose_seed_mode == "sim_prior" or (
+            self.scale_telemetry and cam.depth is not None
+        ):
+            # consumed by sim_prior; pure telemetry otherwise. Fires on ANY
+            # dataset that populates cam.depth (synthetic GT or RGB-D
+            # sensors) — Training.scale_telemetry=False turns the
+            # per-keyframe dispatch off (ADVICE r4)
             self._observe_map_scale(render_depth, cam)
         depth, cam = self._fused_keyframe_depth(
             idx, cam, render_depth, render_opacity, init=False
