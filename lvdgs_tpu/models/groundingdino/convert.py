@@ -46,17 +46,10 @@ class _SD:
         return {"weight": self.raw(f"{p}.weight"), "bias": self.raw(f"{p}.bias")}
 
 
-def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
-    sd = {
-        (k[7:] if k.startswith("module.") else k): (
-            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-        )
-        for k, v in sd.items()
-    }
-    s = _SD(sd)
-
-    # ---- swin backbone (backbone.0.*)
-    bb = "backbone.0"
+def convert_swin(s: "_SD", bb: str, swin_cfg) -> Dict:
+    """Swin backbone subtree (official layout `<bb>.patch_embed/layers/norm*`)
+    -> JAX param tree for swin.swin_forward. Exposed separately so the HF
+    parity tests can validate this converter piece against SwinBackbone."""
     swin = {
         "patch_embed": {
             "weight": s.raw(f"{bb}.patch_embed.proj.weight"),
@@ -66,7 +59,7 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
         "stages": [],
         "out_norms": {},
     }
-    for si, depth in enumerate(cfg.swin.depths):
+    for si, depth in enumerate(swin_cfg.depths):
         blocks = []
         for bi in range(depth):
             b = f"{bb}.layers.{si}.blocks.{bi}"
@@ -83,17 +76,20 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
                 }
             )
         stage = {"blocks": blocks}
-        if si < len(cfg.swin.depths) - 1:
+        if si < len(swin_cfg.depths) - 1:
             stage["downsample"] = {
                 "norm": s.ln(f"{bb}.layers.{si}.downsample.norm"),
                 "reduction": s.lin(f"{bb}.layers.{si}.downsample.reduction", bias=False),
             }
         swin["stages"].append(stage)
-    for si in cfg.swin.out_indices:
+    for si in swin_cfg.out_indices:
         swin["out_norms"][str(si)] = s.ln(f"{bb}.norm{si}")
+    return swin
 
-    # ---- bert (bert.bert.* in the official ckpt)
-    bp = "bert.bert" if "bert.bert.embeddings.word_embeddings.weight" in sd else "bert"
+
+def convert_bert(s: "_SD", bp: str, bert_cfg) -> Dict:
+    """BERT subtree (HF BertModel layout under prefix `<bp>`) -> JAX param
+    tree for bert.bert_forward."""
     bert = {
         "word_emb": s.raw(f"{bp}.embeddings.word_embeddings.weight"),
         "pos_emb": s.raw(f"{bp}.embeddings.position_embeddings.weight"),
@@ -101,7 +97,7 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
         "emb_ln": s.ln(f"{bp}.embeddings.LayerNorm"),
         "layers": [],
     }
-    for i in range(cfg.bert.layers):
+    for i in range(bert_cfg.layers):
         b = f"{bp}.encoder.layer.{i}"
         bert["layers"].append(
             {
@@ -115,6 +111,29 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
                 "out_ln": s.ln(f"{b}.output.LayerNorm"),
             }
         )
+    return bert
+
+
+def normalize_state_dict(sd: Dict) -> Dict:
+    """torch tensors -> numpy; strip a leading 'module.'."""
+    return {
+        (k[7:] if k.startswith("module.") else k): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in sd.items()
+    }
+
+
+def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
+    sd = normalize_state_dict(sd)
+    s = _SD(sd)
+
+    # ---- swin backbone (backbone.0.*)
+    swin = convert_swin(s, "backbone.0", cfg.swin)
+
+    # ---- bert (bert.bert.* in the official ckpt)
+    bp = "bert.bert" if "bert.bert.embeddings.word_embeddings.weight" in sd else "bert"
+    bert = convert_bert(s, bp, cfg.bert)
 
     # ---- neck, transformer, heads
     def attn_p(prefix):

@@ -60,7 +60,10 @@ class SAMSegmenter:
         x, (newH, newW), scale = self._preprocess(img_u8)
         emb = sam_encode_image(self.params, jnp.asarray(x), self.cfg)
         S = self.cfg.img_size
-        boxes = np.asarray(boxes_xyxy, np.float32) * scale / S  # normalised to padded square
+        # scale to model resolution, shift to pixel centers (+0.5, the
+        # official prompt encoder's _embed_boxes — pinned by the HF parity
+        # test), normalise to the padded square
+        boxes = (np.asarray(boxes_xyxy, np.float32) * scale + 0.5) / S
         # STATIC box-count buckets: jitted programs key on N, and a
         # per-frame-varying detector count otherwise compiles a fresh SAM
         # decoder per distinct N (~60 s each through the remote-compile
