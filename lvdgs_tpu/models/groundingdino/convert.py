@@ -230,14 +230,6 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
         "feat_map": s.lin("feat_map"),
         "input_proj": input_proj,
         "level_embed": s.raw(f"{tr}.level_embed"),
-        # learned text positional embedding may be absent (computed in the
-        # official model); explicit None check — `arr or default` would
-        # raise on a present multi-element array
-        "text_pos_embed": (
-            np.asarray(sd[f"{tr}.encoder.text_layers.0.self_attn_pos"])
-            if f"{tr}.encoder.text_layers.0.self_attn_pos" in sd
-            else np.zeros((cfg.max_text_len, cfg.dim), np.float32)
-        ),
         "enc_layers": enc_layers,
         "enc_output": s.lin(f"{tr}.enc_output"),
         "enc_output_ln": s.ln(f"{tr}.enc_output_norm"),
@@ -249,6 +241,9 @@ def convert_state_dict(sd: Dict, cfg: GroundingDINOConfig):
             s.lin(f"{tr}.decoder.ref_point_head.layers.{j}") for j in range(2)
         ],
         "dec_layers": dec_layers,
+        # final decoder norm feeding the classification head
+        # (reference transformer.py:135)
+        "dec_norm": s.ln(f"{tr}.decoder.norm"),
         "bbox_embed": [s.lin(f"bbox_embed.0.layers.{j}") for j in range(3)],
     }
     import jax
@@ -271,4 +266,200 @@ def load_converted(path: str, cfg: GroundingDINOConfig):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
+    if any(k.startswith("model.backbone.conv_encoder") for k in sd):
+        sd = convert_hf_state_dict(sd)
     return convert_state_dict(sd, cfg)
+
+
+def _rename_hf_swin_backbone(hf_sd: Dict, prefix: str) -> Dict:
+    """HF Swin(Backbone) layout -> official GroundingDINO Swin layout under
+    ``prefix`` (e.g. 'backbone.0'), fusing HF's split q/k/v into the
+    official packed qkv."""
+    out = {}
+    qkv: Dict = {}
+    for k, v in hf_sd.items():
+        if "relative_position_index" in k or k.startswith("pooler"):
+            continue
+        nk = k
+        nk = nk.replace("embeddings.patch_embeddings.projection", "patch_embed.proj")
+        nk = nk.replace("embeddings.norm", "patch_embed.norm")
+        nk = nk.replace("encoder.layers.", "layers.")
+        nk = nk.replace("layernorm_before", "norm1").replace("layernorm_after", "norm2")
+        nk = nk.replace("attention.output.dense", "attn.proj")
+        nk = nk.replace(
+            "attention.self.relative_position_bias_table",
+            "attn.relative_position_bias_table",
+        )
+        nk = nk.replace("intermediate.dense", "mlp.fc1")
+        nk = nk.replace("output.dense", "mlp.fc2")
+        if "hidden_states_norms.stage" in nk:
+            si = int(nk.split("hidden_states_norms.stage")[1].split(".")[0]) - 1
+            out[f"{prefix}.norm{si}.{nk.rsplit('.', 1)[1]}"] = v
+            continue
+        part = None
+        for p in ("query", "key", "value"):
+            if f"attention.self.{p}" in nk:
+                part = p
+        if part is not None:
+            base = nk.split(".attention.self.")[0]
+            kind = nk.rsplit(".", 1)[1]
+            qkv.setdefault((base, kind), {})[part] = np.asarray(v)
+        else:
+            out[f"{prefix}.{nk}"] = v
+    for (base, kind), parts in qkv.items():
+        out[f"{prefix}.{base}.attn.qkv.{kind}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
+
+
+def convert_hf_state_dict(sd: Dict) -> Dict:
+    """HuggingFace `GroundingDinoForObjectDetection` state-dict layout ->
+    the official groundingdino_swint_ogc.pth layout `convert_state_dict`
+    consumes. Lets HF-hub checkpoints (IDEA-Research/grounding-dino-tiny)
+    drive this port; also the bridge the HF parity tests push random
+    weights through. Packs HF's split q/k/v attentions back into torch
+    MultiheadAttention in_proj layout."""
+    sd = normalize_state_dict(sd)
+    out: Dict = {}
+    packed: Dict = {}
+
+    def pack(dst: str, part: str, kind: str, v):
+        packed.setdefault((dst, kind), {})[part] = np.asarray(v)
+
+    swin_sub = {}
+    for k, v in sd.items():
+        if "position_ids" in k:
+            continue
+        if k.startswith("model.backbone.conv_encoder.model."):
+            swin_sub[k[len("model.backbone.conv_encoder.model."):]] = v
+            continue
+        if k.startswith("model.text_backbone."):
+            out["bert." + k[len("model.text_backbone."):]] = v
+            continue
+        if k.startswith("model.text_projection."):
+            out[k.replace("model.text_projection", "feat_map")] = v
+            continue
+        if k.startswith("model.input_proj_vision."):
+            out[k.replace("model.input_proj_vision", "input_proj")] = v
+            continue
+        if k == "model.level_embed":
+            out["transformer.level_embed"] = v
+            continue
+        if k.startswith("model.encoder.layers."):
+            i = k.split(".")[3]
+            rest = k.split(f"model.encoder.layers.{i}.")[1]
+            if rest.startswith("deformable_layer."):
+                r = rest[len("deformable_layer."):]
+                r = (
+                    r.replace("self_attn_layer_norm", "norm1")
+                    .replace("final_layer_norm", "norm2")
+                    .replace("fc1", "linear1")
+                    .replace("fc2", "linear2")
+                )
+                out[f"transformer.encoder.layers.{i}.{r}"] = v
+            elif rest.startswith("text_enhancer_layer."):
+                r = rest[len("text_enhancer_layer."):]
+                dst = f"transformer.encoder.text_layers.{i}"
+                done = False
+                for p in ("query", "key", "value"):
+                    if r.startswith(f"self_attn.{p}."):
+                        pack(f"{dst}.self_attn", p, r.rsplit(".", 1)[1], v)
+                        done = True
+                if done:
+                    continue
+                r = (
+                    r.replace("layer_norm_before", "norm1")
+                    .replace("layer_norm_after", "norm2")
+                    .replace("fc1", "linear1")
+                    .replace("fc2", "linear2")
+                )
+                out[f"{dst}.{r}"] = v
+            elif rest.startswith("fusion_layer."):
+                r = rest[len("fusion_layer."):]
+                r = (
+                    r.replace("layer_norm_vision", "layer_norm_v")
+                    .replace("layer_norm_text", "layer_norm_l")
+                    .replace("attn.vision_proj", "attn.v_proj")
+                    .replace("attn.text_proj", "attn.l_proj")
+                    .replace("attn.values_vision_proj", "attn.values_v_proj")
+                    .replace("attn.values_text_proj", "attn.values_l_proj")
+                    .replace("attn.out_vision_proj", "attn.out_v_proj")
+                    .replace("attn.out_text_proj", "attn.out_l_proj")
+                    .replace("vision_param", "gamma_v")
+                    .replace("text_param", "gamma_l")
+                )
+                out[f"transformer.encoder.fusion_layers.{i}.{r}"] = v
+            continue
+        if k.startswith("model.decoder.layers."):
+            i = k.split(".")[3]
+            rest = k.split(f"model.decoder.layers.{i}.")[1]
+            dst = f"transformer.decoder.layers.{i}"
+            done = False
+            for attn, official in (
+                ("self_attn.", "self_attn"),
+                ("encoder_attn_text.", "ca_text"),
+            ):
+                if rest.startswith(attn):
+                    r = rest[len(attn):]
+                    p = r.split(".")[0]
+                    if p in ("query", "key", "value"):
+                        pack(f"{dst}.{official}", p, r.rsplit(".", 1)[1], v)
+                    else:  # out_proj
+                        out[f"{dst}.{official}.{r}"] = v
+                    done = True
+                    break
+            if done:
+                continue
+            r = (
+                rest.replace("self_attn_layer_norm", "norm2")
+                .replace("encoder_attn_text_layer_norm", "catext_norm")
+                .replace("encoder_attn_layer_norm", "norm1")
+                .replace("encoder_attn", "cross_attn")
+                .replace("final_layer_norm", "norm3")
+                .replace("fc1", "linear1")
+                .replace("fc2", "linear2")
+            )
+            out[f"{dst}.{r}"] = v
+            continue
+        if k.startswith("model.decoder.bbox_embed.") or k.startswith(
+            "model.decoder.class_embed"
+        ):
+            # tied duplicates of the top-level shared heads
+            continue
+        if k.startswith("model.decoder.reference_points_head."):
+            out[k.replace(
+                "model.decoder.reference_points_head",
+                "transformer.decoder.ref_point_head",
+            )] = v
+            continue
+        if k.startswith("model.decoder.layer_norm."):
+            out[k.replace("model.decoder.layer_norm", "transformer.decoder.norm")] = v
+            continue
+        if k.startswith("model.enc_output_norm."):
+            out[k.replace("model.enc_output_norm", "transformer.enc_output_norm")] = v
+            continue
+        if k.startswith("model.enc_output."):
+            out[k.replace("model.enc_output", "transformer.enc_output")] = v
+            continue
+        if k.startswith("model.encoder_output_bbox_embed."):
+            out[k.replace(
+                "model.encoder_output_bbox_embed",
+                "transformer.enc_out_bbox_embed",
+            )] = v
+            continue
+        if k == "model.query_position_embeddings.weight":
+            out["transformer.tgt_embed.weight"] = v
+            continue
+        if k.startswith("bbox_embed."):
+            out[k] = v  # same layout (shared heads: index 0 is read)
+            continue
+        import warnings
+
+        warnings.warn(f"convert_hf_state_dict: unmapped key {k}")
+    for (dst, kind), parts in packed.items():
+        out[f"{dst}.in_proj_{kind}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    out.update(_rename_hf_swin_backbone(swin_sub, "backbone.0"))
+    return out

@@ -150,17 +150,30 @@ class WordPieceTokenizer:
 
 
 def build_text_masks(ids: np.ndarray, special: Tuple[int, ...]):
-    """(L,) ids -> (L, L) phrase-block self-attention mask + (L,) pad mask.
+    """(L,) ids -> ((L, L) phrase-block self-attention mask, (L,) pad mask,
+    (L,) per-phrase position ids).
 
-    Tokens between special tokens ('.', [CLS], [SEP]) attend within their
-    segment; special tokens attend to themselves only (inference-mode form
-    of generate_masks_with_special_tokens_and_transfer_map)."""
+    Exact generate_masks_with_special_tokens_and_transfer_map semantics
+    (reference groundingdino/util/utils.py, mirrored in the dev-history
+    frontends): each block spans (previous_special, special] — the
+    TERMINATING special token ('.'/[SEP] mid-prompt) attends WITH its
+    phrase and carries the block's last position id; [CLS] (col 0) and the
+    final token attend to themselves only with position 0."""
     L = len(ids)
     is_special = np.isin(ids, special)
-    seg = np.cumsum(is_special)  # segment id per token
-    same = (seg[:, None] == seg[None, :]) & ~is_special[:, None] & ~is_special[None, :]
-    mask = same | np.eye(L, dtype=bool)
-    return mask, np.ones(L, bool)
+    mask = np.eye(L, dtype=bool)
+    position_ids = np.zeros(L, np.int64)
+    previous_col = 0
+    for col in np.nonzero(is_special)[0]:
+        if col in (0, L - 1):
+            position_ids[col] = 0
+        else:
+            mask[previous_col + 1 : col + 1, previous_col + 1 : col + 1] = True
+            position_ids[previous_col + 1 : col + 1] = np.arange(
+                0, col - previous_col
+            )
+        previous_col = col
+    return mask, np.ones(L, bool), position_ids
 
 
 class GroundingDINODetector:
@@ -202,7 +215,7 @@ class GroundingDINODetector:
         ids_list, span_list = self.tokenizer.tokenize_with_spans(prompt)
         ids = np.asarray(ids_list, np.int32)[: self.cfg.max_text_len]
         spans = np.asarray(span_list, np.int32)[: self.cfg.max_text_len]
-        self_mask, pad_mask = build_text_masks(
+        self_mask, pad_mask, position_ids = build_text_masks(
             ids, (self.tokenizer.cls, self.tokenizer.sep, self.tokenizer.dot)
         )
         out = groundingdino_forward(
@@ -212,6 +225,7 @@ class GroundingDINODetector:
             jnp.asarray(self_mask)[None],
             jnp.asarray(pad_mask)[None],
             self.cfg,
+            position_ids=jnp.asarray(position_ids, jnp.int32)[None],
         )
         logits = np.asarray(out["logits"][0])  # (Q, max_text_len)
         boxes = np.asarray(out["boxes"][0])  # (Q, 4) cxcywh normalised

@@ -100,6 +100,19 @@ def _sine_embed_boxes(boxes, dim):
                             emb(boxes[..., 2]), emb(boxes[..., 3])], axis=-1)
 
 
+def _sine_pos_1d(pos, dim):
+    """get_sine_pos_embed parity (reference utils.py:24-53, exchange_xy
+    False): scalar positions -> (.., dim) interleaved sin/cos embedding,
+    temperature 10000. Used for the per-phrase text position embedding
+    (reference transformer.py:539-543)."""
+    npf = dim
+    dim_t = 10000.0 ** (2 * (jnp.arange(npf) // 2) / npf)
+    x = pos[..., None] * (2 * jnp.pi) / dim_t  # (..., npf)
+    return jnp.stack(
+        [jnp.sin(x[..., 0::2]), jnp.cos(x[..., 1::2])], axis=-1
+    ).reshape(*x.shape[:-1], npf)
+
+
 def _mha(q, k, v, p, heads, bias=None):
     B, Nq, D = q.shape
     d = D // heads
@@ -173,12 +186,15 @@ def _ffn(x, p):
 
 
 def _encoder_layer(img, img_pos, text, text_pos, ref_points, spatial_shapes,
-                   text_mask, p, cfg):
+                   text_mask, text_self_mask, p, cfg):
     # 1. fusion
     img, text = _bi_attention(img, text, p["fusion"], cfg.heads, text_mask)
-    # 2. text self-attention (vanilla)
+    # 2. text self-attention (vanilla) — the text enhancer attends within
+    # PHRASE blocks (reference transformer.py:572-577 passes
+    # src_mask=~text_self_attention_masks; the key-padding variant is
+    # commented out in transformer_vanilla.py:118)
     tq = text + text_pos
-    bias = jnp.where(text_mask[:, None, None, :], 0.0, -1e9)
+    bias = jnp.where(text_self_mask[:, None], 0.0, -1e9)  # (B, 1, L, L)
     t_att = _mha(tq, tq, text, p["text_attn"], cfg.heads, bias)
     text = layer_norm(text + t_att, p["text_ln1"])
     text = _ffn(text, p["text_ffn"])
@@ -222,13 +238,19 @@ def _contrastive_logits(queries, text, text_mask, max_text_len):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def groundingdino_forward(params, img, input_ids, text_self_mask, text_pad_mask,
-                          cfg: GroundingDINOConfig):
+                          cfg: GroundingDINOConfig, position_ids=None):
     """img: (B, 3, H, W) normalised; input_ids: (B, L);
     text_self_mask: (B, L, L) phrase-block self-attention mask;
-    text_pad_mask: (B, L) True on real tokens.
+    text_pad_mask: (B, L) True on real tokens;
+    position_ids: (B, L) per-phrase position ids (reference
+    generate_masks_with_special_tokens_and_transfer_map; arange fallback).
     Returns dict(logits (B, Q, max_text_len), boxes (B, Q, 4) cxcywh)."""
     B = img.shape[0]
     D = cfg.dim
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(
+            jnp.arange(input_ids.shape[1]), input_ids.shape
+        )
 
     # ---- backbone + neck
     feats = swin_forward(img, params["backbone"], cfg.swin)
@@ -241,10 +263,13 @@ def groundingdino_forward(params, img, input_ids, text_self_mask, text_pad_mask,
         ) + params["input_proj"][i]["bias"][None, :, None, None]
         x = _group_norm(x, params["input_proj"][i]["gn"])
         srcs.append(x)
-    # extra level: stride-2 conv on the last backbone map
+    # extra level: 3x3 stride-2 conv on the last backbone map. torch uses
+    # padding=1 which differs from XLA "SAME" on even inputs (SAME pads
+    # (0,1) asymmetrically for stride 2; torch pads (1,1) and drops the
+    # trailing column) — use explicit torch-equivalent padding
     x = jax.lax.conv_general_dilated(
         feats[-1].astype(params["input_proj"][3]["weight"].dtype),
-        params["input_proj"][3]["weight"], (2, 2), "SAME",
+        params["input_proj"][3]["weight"], (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     ) + params["input_proj"][3]["bias"][None, :, None, None]
     srcs.append(_group_norm(x, params["input_proj"][3]["gn"]))
@@ -268,30 +293,44 @@ def groundingdino_forward(params, img, input_ids, text_self_mask, text_pad_mask,
         refs.append(jnp.stack([gx, gy], -1).reshape(Hl * Wl, 2))
     enc_refs = jnp.broadcast_to(jnp.concatenate(refs, 0)[None], (B, memory.shape[1], 2))
 
-    # ---- text tower
-    text = bert_forward(params["bert"], input_ids, text_self_mask, cfg.bert)
+    # ---- text tower (per-phrase position ids, reference bertwarper usage)
+    text = bert_forward(params["bert"], input_ids, text_self_mask, cfg.bert,
+                        position_ids=position_ids)
     text = linear(text, params["feat_map"])  # 768 -> 256
 
-    text_pos = params["text_pos_embed"][: text.shape[1]][None]
+    # sine embedding of the per-phrase position ids (reference
+    # transformer.py:539-543), NOT a learned table
+    text_pos = _sine_pos_1d(position_ids.astype(jnp.float32), D)
 
     # ---- encoder
     for lp in params["enc_layers"]:
         memory, text = _encoder_layer(
             memory, mem_pos, text, text_pos, enc_refs, spatial_shapes,
-            text_pad_mask, lp, cfg,
+            text_pad_mask, text_self_mask, lp, cfg,
         )
 
-    # ---- two-stage proposals
-    out_mem = layer_norm(linear(memory, params["enc_output"]), params["enc_output_ln"])
+    # ---- two-stage proposals (gen_encoder_output_proposals parity,
+    # reference utils.py:56-116): per-level anchor wh = 0.05 * 2^lvl;
+    # proposals outside (0.01, 0.99) are invalidated — their memory rows are
+    # ZEROED before the output projection and their anchor logits are +inf
+    whs = jnp.concatenate([
+        jnp.full((Hl * Wl, 2), 0.05 * (2.0 ** lvl), jnp.float32)
+        for lvl, (Hl, Wl) in enumerate(spatial_shapes)
+    ], axis=0)[None]  # (1, N, 2)
+    anchors = jnp.concatenate(
+        [enc_refs, jnp.broadcast_to(whs, (B, enc_refs.shape[1], 2))], axis=-1
+    )
+    valid = ((anchors > 0.01) & (anchors < 0.99)).all(-1, keepdims=True)
+    anchors_unsig = jnp.where(
+        valid, jnp.log(anchors / (1.0 - anchors)), jnp.inf
+    )
+    out_mem = jnp.where(valid, memory, 0.0)
+    out_mem = layer_norm(linear(out_mem, params["enc_output"]), params["enc_output_ln"])
     enc_logits = _contrastive_logits(out_mem, text, text_pad_mask, cfg.max_text_len)
     scores = jnp.where(jnp.isfinite(enc_logits), enc_logits, -jnp.inf).max(-1)
     _, topk = jax.lax.top_k(scores, cfg.num_queries)
-    # proposal boxes: anchors + delta
-    anchors = jnp.concatenate(
-        [enc_refs, jnp.full((B, enc_refs.shape[1], 2), 0.05)], axis=-1
-    )
     delta = _mlp3(out_mem, params["enc_bbox"])
-    props = jax.nn.sigmoid(_inverse_sigmoid(anchors) + delta)
+    props = jax.nn.sigmoid(anchors_unsig + delta)
     ref = jnp.take_along_axis(props, topk[..., None], axis=1)  # (B, Q, 4)
 
     tgt = jnp.broadcast_to(params["tgt_embed"][None], (B, cfg.num_queries, D))
@@ -308,7 +347,11 @@ def groundingdino_forward(params, img, input_ids, text_self_mask, text_pad_mask,
         ref = jax.nn.sigmoid(_inverse_sigmoid(ref) + delta)
         boxes_out.append(ref)
 
-    logits = _contrastive_logits(tgt, text, text_pad_mask, cfg.max_text_len)
+    # the classification head reads the NORMED decoder output (reference
+    # transformer.py:135,730: intermediate.append(self.norm(output))); box
+    # refinement above uses the raw output
+    tgt_n = layer_norm(tgt, params["dec_norm"])
+    logits = _contrastive_logits(tgt_n, text, text_pad_mask, cfg.max_text_len)
     return {"logits": logits, "boxes": boxes_out[-1]}
 
 
@@ -396,7 +439,6 @@ def init_params(key, cfg: GroundingDINOConfig) -> Dict:
         "feat_map": _init_linear(next(ks), cfg.bert.dim, D),
         "input_proj": input_proj,
         "level_embed": jax.random.normal(next(ks), (cfg.n_levels, D)) * 0.02,
-        "text_pos_embed": jax.random.normal(next(ks), (cfg.max_text_len, D)) * 0.02,
         "enc_layers": [
             {
                 "fusion": fusion_p(),
@@ -427,6 +469,7 @@ def init_params(key, cfg: GroundingDINOConfig) -> Dict:
             }
             for _ in range(cfg.dec_layers)
         ],
+        "dec_norm": _init_ln(D),
         "bbox_embed": [_init_linear(next(ks), D, D), _init_linear(next(ks), D, D),
                        _init_linear(next(ks), D, 4)],
     }

@@ -235,9 +235,6 @@ def test_gdino_convert_roundtrip_tiny():
         put_ln(f"input_proj.{i}.1", ip["gn"])
     tr = "transformer"
     sd[f"{tr}.level_embed"] = np.asarray(params["level_embed"])
-    sd[f"{tr}.encoder.text_layers.0.self_attn_pos"] = np.asarray(
-        params["text_pos_embed"]
-    )
     for i, e in enumerate(params["enc_layers"]):
         ep = f"{tr}.encoder.layers.{i}"
         fp = f"{tr}.encoder.fusion_layers.{i}"
@@ -277,6 +274,7 @@ def test_gdino_convert_roundtrip_tiny():
         put_ffn(f"{dp}.linear1", f"{dp}.linear2", f"{dp}.norm3", d["ffn"])
     for j, lin in enumerate(params["bbox_embed"]):
         put_lin(f"bbox_embed.0.layers.{j}", lin)
+    put_ln(f"{tr}.decoder.norm", params["dec_norm"])
 
     import warnings
 

@@ -75,18 +75,23 @@ def test_swin_shapes():
 def test_bert_phrase_mask_isolation():
     cfg = TINY_BERT
     params = init_bert(jax.random.PRNGKey(1), cfg)
-    ids = np.array([1, 5, 6, 2, 7, 8, 3], np.int32)  # specials at 1, 2(dot?), 3
-    mask, pad = build_text_masks(ids, (1, 2, 3))
+    ids = np.array([1, 5, 6, 2, 7, 8, 2, 3], np.int32)  # [CLS] 5 6 . 7 8 . [SEP]
+    mask, pad, position_ids = build_text_masks(ids, (1, 2, 3))
     # tokens 5,6 (segment 1) must not attend to 7,8 (segment 2)
     assert not mask[1, 4] and not mask[4, 1]
     assert mask[1, 2] and mask[4, 5]
+    # official semantics: the terminating '.' attends WITH its phrase;
+    # [CLS]/[SEP] are self-only; position ids reset per phrase
+    assert mask[1, 3] and mask[3, 1]
+    assert not mask[0, 1] and not mask[7, 6]
+    np.testing.assert_array_equal(position_ids, [0, 0, 1, 2, 0, 1, 2, 0])
     out = bert_forward(params, jnp.asarray(ids)[None], jnp.asarray(mask)[None], cfg)
-    assert out.shape == (1, 7, cfg.dim)
+    assert out.shape == (1, 8, cfg.dim)
     # isolation: changing segment-2 tokens must not change segment-1 outputs
     ids2 = ids.copy()
     ids2[4] = 9
     out2 = bert_forward(params, jnp.asarray(ids2)[None], jnp.asarray(mask)[None], cfg)
-    np.testing.assert_allclose(np.asarray(out[0, 1:3]), np.asarray(out2[0, 1:3]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 1:4]), np.asarray(out2[0, 1:4]), atol=1e-5)
 
 
 def test_detector_end_to_end_random_weights():
