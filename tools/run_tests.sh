@@ -34,7 +34,8 @@ run tests/test_mast3r.py tests/test_cloud_opt.py \
     tests/test_oracle_prior.py -m "not slow"
 run tests/test_groundingdino.py tests/test_sam.py \
     tests/test_gdino_torch_parity.py -m "not slow"
-run tests/test_sam_hf_parity.py tests/test_swin_bert_hf_parity.py -m "not slow"
+run tests/test_sam_hf_parity.py tests/test_swin_bert_hf_parity.py \
+    tests/test_gdino_full_hf_parity.py -m "not slow"
 
 if [ "$QUICK_ONLY" = "0" ]; then
   # slow tier: isolated processes (full SLAM loops, 8-device mesh)
