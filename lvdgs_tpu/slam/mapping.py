@@ -681,15 +681,22 @@ def color_refine_run(
         cam = camera_from_slot(kfbuf, slot)
         out = rasterize(p, active, kfbuf.R[slot], kfbuf.T[slot], intr, rcfg,
                         need_n_touched=False)
+        # compare in the keyframe's exposure frame, like the mapping loss
+        # (losses.py loss_mapping): SLAM leaves the map exposure-neutral with
+        # per-keyframe (a,b) absorbing the jitter; fitting RAW jittered
+        # images here drags the map colors toward the keyframes' exposure
+        # mixture and LOWERS eval PSNR (r4 artifact: 16.65 -> 15.84 dB)
+        ab = kfbuf.exposure_ab[slot]
+        image = jnp.exp(ab[0]) * out.image + ab[1]
 
         def masked(_):
             static = cam.static_mask[None]
-            mi = jnp.where(static, out.image, bg[:, None, None])
+            mi = jnp.where(static, image, bg[:, None, None])
             mg = jnp.where(static, cam.image, bg[:, None, None])
             return mi, mg
 
         def plain(_):
-            return out.image, cam.image
+            return image, cam.image
 
         mi, mg = jax.lax.cond(cam.has_static_mask, masked, plain, None)
         ll1 = l1_loss(mi, mg)
