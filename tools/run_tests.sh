@@ -31,7 +31,7 @@ run tests/test_binning.py tests/test_rasterizer.py -m "not slow"
 run tests/test_rasterizer_pallas.py -m "not slow"
 run tests/test_slam_steps.py tests/test_converters.py -m "not slow"
 run tests/test_mast3r.py tests/test_cloud_opt.py \
-    tests/test_oracle_prior.py -m "not slow"
+    tests/test_oracle_prior.py tests/test_coarse_to_fine.py -m "not slow"
 run tests/test_groundingdino.py tests/test_sam.py \
     tests/test_gdino_torch_parity.py -m "not slow"
 run tests/test_sam_hf_parity.py tests/test_swin_bert_hf_parity.py \
