@@ -134,6 +134,12 @@ def build_config():
             # fewer rows/iter
             "track_pyramid": True,
             "track_coarse_iters": 60,
+            # kf_interval-5-representative timing (VERDICT r4 #1): without
+            # the gate the street policy fires a keyframe every ~2.4 frames
+            # — denser than the reference's wall-time pacing regime
+            # (<=3 kf/s at its GPU frame rates) and it skewed two rounds of
+            # fps numbers low. Numerics-affecting -> rebuilds warm state.
+            "kf_time_gate": True,
         }
     )
     config["Performance"] = {

@@ -254,6 +254,14 @@ class SLAM:
             # first, 4x fewer budgeted rows/iter; single-chip path only
             pyramid=tr.get("track_pyramid", False),
             coarse_iters=tr.get("track_coarse_iters", 60),
+            # OPT-IN: gate dynamic pixels out of the tracking loss. Default
+            # off — reference parity (utils/slam_utils.py:53-62 never
+            # masks) AND measured: on the CPU dynamic street with oracle
+            # masks, masking tracking LOSES (ATE 1.70 m vs 0.32 m with
+            # masked mapping alone — removing the near-field car pixels
+            # costs more translation observability than the wrong-object
+            # residual costs accuracy). See TrackingConfig.use_static_mask.
+            use_static_mask=bool(tr.get("tracking_use_mask", False)),
         )
 
         common = dict(
@@ -304,6 +312,12 @@ class SLAM:
 
         # policy hyper-params
         self.kf_interval = tr.get("kf_interval", 5)
+        # enforce the kf_interval minimum gap in THREADED mode too. The
+        # reference paces keyframes in wall time instead (<=3 kf/s sleep,
+        # utils/slam_frontend.py:1881-1885) — a cap that binds at its GPU
+        # frame rates but not at a bench's; this gate is the
+        # frame-count-domain equivalent (single-thread mode always gates)
+        self.kf_time_gate = tr.get("kf_time_gate", False)
         self.window_size = tr.get("window_size", 8)
         self.single_thread = tr.get("single_thread", True)
         self.kf_translation = tr.get("kf_translation", 0.08)
@@ -339,6 +353,18 @@ class SLAM:
         # — see _apply_gauge_correction
         self.mono_scale_servo = tr.get("mono_scale_servo", True)
         self.mono_scale_servo_deadband = tr.get("mono_scale_servo_deadband", 0.02)
+        # servo loop shaping (r5: a full-gain servo on the RAW per-KF
+        # alignment scale chased measurement noise — world rescales swung
+        # 0.80<->1.05 between keyframes and street ATE blew up to 9.8 m).
+        # The drift estimate is the median of the last `servo_window` raw
+        # scales; each event corrects `servo_gain` of the LOG drift and the
+        # per-event rescale is clipped to +-`servo_max_step`.
+        self.mono_scale_servo_window = tr.get("mono_scale_servo_window", 5)
+        self.mono_scale_servo_gain = tr.get("mono_scale_servo_gain", 0.5)
+        self.mono_scale_servo_max_step = tr.get(
+            "mono_scale_servo_max_step", 0.05
+        )
+        self._servo_obs: list = []
         # map-scale drift telemetry on datasets that carry a depth channel
         # (RGB-D included): one extra device dispatch + 2-float fetch per
         # keyframe. Off -> only the sim_prior path (which CONSUMES the
@@ -370,6 +396,8 @@ class SLAM:
         self.sim_prior_rot_noise_deg = tr.get("sim_prior_rot_noise_deg", 0.2)
         self._map_scale_obs: Optional[float] = None  # see _map_scale_estimate
         self._scale_history: list = []  # (frame, obs) drift telemetry
+        # (frame, rot_deg, t_dir_deg, |t|/|t_gt|) prior-seed diagnostics
+        self._seed_err_history: list = []
         self.mono_depth_source = ds_cfg.get("mono_depth_source", "dataset")
 
         res = config.get("Results", {})
@@ -625,6 +653,38 @@ class SLAM:
             if len(self._scale_history) > 4096:
                 del self._scale_history[:-4096]
 
+    def _observe_seed_error(self, idx: int, cam: Camera, R_seed, T_seed,
+                            last_cam) -> None:
+        """Prior-path diagnostics (VERDICT r4 weak #4): per-frame error of
+        the prior's RELATIVE pose (last_kf -> cur) against GT, split into
+        scale-free rotation / translation-direction errors and a magnitude
+        ratio (map scale rides the ratio, not the angles). Synthetic-GT
+        only; appended to _seed_err_history and emitted by quality_bench."""
+        if last_cam is None or getattr(cam, "R_gt", None) is None:
+            return
+        kf = self.frames.get(int(last_cam.uid))
+        if kf is None:
+            return
+        R_kf, T_kf = np.asarray(kf["R"]), np.asarray(kf["T"])
+        rel_R = R_seed @ R_kf.T
+        rel_T = T_seed - rel_R @ T_kf
+        Rg = np.asarray(cam.R_gt) @ np.asarray(kf["R_gt"]).T
+        Tg = np.asarray(cam.T_gt) - Rg @ np.asarray(kf["T_gt"])
+        cosr = np.clip((np.trace(rel_R @ Rg.T) - 1.0) / 2.0, -1.0, 1.0)
+        rot_deg = float(np.degrees(np.arccos(cosr)))
+        ng, ne = float(np.linalg.norm(Tg)), float(np.linalg.norm(rel_T))
+        if ng > 1e-6 and ne > 1e-6:
+            cosd = float(np.clip(np.dot(rel_T, Tg) / (ne * ng), -1.0, 1.0))
+            dir_deg = float(np.degrees(np.arccos(cosd)))
+            ratio = ne / ng
+        else:
+            dir_deg, ratio = 0.0, 1.0
+        self._seed_err_history.append(
+            (int(idx), rot_deg, dir_deg, round(ratio, 4))
+        )
+        if len(self._seed_err_history) > 4096:
+            del self._seed_err_history[:-4096]
+
     def _pose_seed(self, idx: int, cam: Camera) -> Camera:
         if self.pose_prior is not None:
             last_kf_idx = self.current_window[0]
@@ -632,6 +692,8 @@ class SLAM:
             seed = self.pose_prior(cam, last_cam, self)
             if seed is not None:
                 R, T = seed
+                self._observe_seed_error(idx, cam, np.asarray(R),
+                                         np.asarray(T), last_cam)
                 return cam.update_RT(jnp.asarray(R, jnp.float32), jnp.asarray(T, jnp.float32))
         mode = self.pose_seed_mode
         if mode == "gt":
@@ -817,20 +879,49 @@ class SLAM:
                 # anchor means the free monocular gauge has walked — the
                 # map+trajectory are the thing that moved, not the mono
                 # prior (which is globally consistent by construction).
-                # Rescale the WHOLE world by k = anchor/s_raw: an exact
-                # photometric invariant (gaussian/model.py:gauge_rescale),
-                # so the correction is loss-neutral and the alignment scale
-                # returns to the anchor instead of compounding (the r4
-                # clamp was a spring; the bench gauge still bottomed at
-                # ~0.52 of birth scale — PERFORMANCE.md r4).
-                drift = s_raw / self._mono_anchor_val
+                # Rescale the WHOLE world: an exact photometric invariant
+                # (gaussian/model.py:gauge_rescale), so the correction is
+                # loss-neutral and the alignment scale returns to the
+                # anchor instead of compounding (the r4 clamp was a spring;
+                # the bench gauge still bottomed at ~0.52 of birth scale).
+                # Loop shaping: per-KF s_raw is a NOISY measurement
+                # (+-10-20% on the street bench); the first full-gain servo
+                # amplified that noise into 0.80<->1.05 world swings and
+                # 9.8 m ATE. Servo on the MEDIAN of recent observations,
+                # correct a fraction of the log drift, clip the step.
+                self._servo_obs.append(s_raw)
+                del self._servo_obs[: -self.mono_scale_servo_window]
+                drift = float(np.median(self._servo_obs)) / self._mono_anchor_val
                 if abs(drift - 1.0) > self.mono_scale_servo_deadband:
-                    k = float(np.clip(1.0 / drift, 0.5, 2.0))
+                    step = self.mono_scale_servo_max_step
+                    k = float(np.clip(
+                        drift ** -self.mono_scale_servo_gain,
+                        1.0 - step, 1.0 + step,
+                    ))
                     cam = self._apply_gauge_correction(k, cam)
                     # the fused depth was assembled in the OLD gauge from
                     # (render, mono*s_raw); both terms scale by k exactly
                     fused = fused * jnp.float32(k)
                     scale = s_raw * k
+                    # recorded observations were measured in the old gauge
+                    self._servo_obs = [s * k for s in self._servo_obs]
+                # residual spring: the servo nudges the GAUGE slowly, but
+                # the per-KF fusion must not inject raw scale noise into
+                # depth targets meanwhile — clamp the APPLIED alignment
+                # scale to the anchor band exactly like the non-servo path
+                tol = self.mono_scale_anchor_tol
+                lo = self._mono_anchor_val * (1.0 - tol)
+                hi = self._mono_anchor_val * (1.0 + tol)
+                if not (lo <= float(scale) <= hi):
+                    s_c = float(np.clip(float(scale), lo, hi))
+                    k_applied = float(scale) / s_raw  # 1.0 unless servoed
+                    fused = _anchor_refuse(
+                        jnp.asarray(render_depth) * jnp.float32(k_applied),
+                        cam.mono_depth,
+                        jnp.asarray(s_c, jnp.float32),
+                        thr=dc.get("final_error_threshold", 0.15),
+                    )
+                    scale = s_c
             else:
                 tol = self.mono_scale_anchor_tol
                 lo = self._mono_anchor_val * (1.0 - tol)
@@ -887,7 +978,7 @@ class SLAM:
             self._map_scale_obs = float(self._map_scale_obs) * k
         self.median_depth = float(self.median_depth) * k
         Log(f"gauge servo: world rescaled by {k:.4f} "
-            f"(alignment scale back to anchor {self._mono_anchor_val:.4f})")
+            f"(anchor {self._mono_anchor_val:.4f})")
         return cam.replace(T=cam.T * kj)
 
     def _grow_to(self, target: int) -> None:
@@ -1317,7 +1408,7 @@ class SLAM:
             create_kf = check_time and (
                 int(stats[2]) / max(int(stats[3]), 1)
             ) < self.kf_overlap
-        if self.single_thread:
+        if self.single_thread or self.kf_time_gate:
             create_kf = check_time and create_kf
 
         if create_kf:

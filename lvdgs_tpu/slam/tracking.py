@@ -92,6 +92,14 @@ class TrackingConfig:
     # skip the final dense bookkeeping render (pyramid coarse stage only —
     # its n_touched is never consumed)
     final_render: bool = True
+    # OPT-IN (Training.tracking_use_mask): gate dynamic pixels out of the
+    # tracking loss with cam.static_mask. Off by default — reference
+    # parity (utils/slam_utils.py:53-62 never masks) and MEASURED worse on
+    # the dynamic street A/B (ATE 1.70 m masked-tracking vs 0.32 m with
+    # masked mapping alone): with oracle masks the near-field moving-object
+    # pixels carry most of the translation observability, and removing
+    # them costs more than the wrong-object residual does
+    use_static_mask: bool = False
 
 
 class TrackState(NamedTuple):
@@ -144,9 +152,10 @@ def track_camera(
     """
     params = jax.lax.stop_gradient(params)
     gt = cam.image
-    rgb_mask = (
-        (gt.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
-    )[None].astype(jnp.float32)
+    rgb_mask = (gt.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
+    if tcfg.use_static_mask:
+        rgb_mask = rgb_mask & cam.static_mask
+    rgb_mask = rgb_mask[None].astype(jnp.float32)
 
     def loss_fn(tau, ab, R, T, bins):
         # n_touched is consumed only by the keyframe policy AFTER the loop —
@@ -434,7 +443,13 @@ def track_camera_pyramid(
         # unused by tracking; shapes must match intr2 for jit cache reuse
         depth=jnp.zeros((intr2.height, intr2.width), jnp.float32),
         mono_depth=jnp.zeros((intr2.height, intr2.width), jnp.float32),
-        static_mask=jnp.ones((intr2.height, intr2.width), bool),
+        # all-pool (not the grad mask's any-pool): a coarse pixel is static
+        # only if every fine pixel is — conservative at object borders
+        static_mask=(
+            ~_downsample2_mask(~cam.static_mask)
+            if tcfg.use_static_mask
+            else jnp.ones((intr2.height, intr2.width), bool)
+        ),
     )
     rcfg2 = rcfg
     if rcfg.use_packed:
@@ -509,9 +524,10 @@ def track_camera_sharded(
 
     params = jax.lax.stop_gradient(params)
     gt_pad = jnp.zeros((3, Hp, Wp), jnp.float32).at[:, :H, :W].set(cam.image)
-    rgb_mask = (
-        (cam.image.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
-    ).astype(jnp.float32)
+    rgb_mask = (cam.image.sum(axis=0) > tcfg.rgb_boundary_threshold) & cam.grad_mask
+    if tcfg.use_static_mask:
+        rgb_mask = rgb_mask & cam.static_mask
+    rgb_mask = rgb_mask.astype(jnp.float32)
     mask_pad = jnp.zeros((1, Hp, Wp), jnp.float32).at[0, :H, :W].set(rgb_mask)
 
     lr_tau = jnp.concatenate(

@@ -141,7 +141,8 @@ def test_masking_recovers_static_psnr(dynamic_runs):
     # static-region PSNR on the IDENTICAL GT pixel set for both runs
     # (eval_rendering prefers dataset GT masks)
     assert "mean_psnr_static" in m_m and "mean_psnr_static" in m_u
-    assert m_m["mean_psnr_static"] > m_u["mean_psnr_static"] - 0.1, (
+    # strict (VERDICT r4 weak #3): masking must IMPROVE static-region PSNR
+    assert m_m["mean_psnr_static"] > m_u["mean_psnr_static"], (
         m_m["mean_psnr_static"], m_u["mean_psnr_static"])
 
 

@@ -252,6 +252,18 @@ def main():
         result["map_scale_history"] = [
             [f, round(s, 4)] for f, s in slam._scale_history
         ]
+    if getattr(slam, "_seed_err_history", None):
+        # per-frame prior-vs-GT relative-pose error:
+        # [frame, rot_deg, t_dir_deg, |t|/|t_gt|] (VERDICT r4 weak #4)
+        h = slam._seed_err_history
+        result["seed_err_history"] = [
+            [f, round(r, 3), round(d, 2), t] for f, r, d, t in h
+        ]
+        result["seed_err_summary"] = {
+            "rot_deg_med": round(float(np.median([r for _, r, _, _ in h])), 3),
+            "t_dir_deg_med": round(float(np.median([d for _, _, d, _ in h])), 2),
+            "t_ratio_med": round(float(np.median([t for _, _, _, t in h])), 4),
+        }
     if nan_params:
         result["nan_map_params"] = nan_params
     if bad_pose_frames:
@@ -259,9 +271,13 @@ def main():
     if render_metrics.get("n_nonfinite_frames"):
         result["n_nonfinite_render_frames"] = render_metrics["n_nonfinite_frames"]
         result["nonfinite_render_frames"] = render_metrics["nonfinite_frames"]
-    with open(os.path.join(out_dir, out_name), "w") as f:
-        json.dump(result, f, indent=2)
+    # print FIRST: a 30+-minute TPU run's numbers must survive any write
+    # failure (r5: '--out results/x.json' doubled the results/ prefix and
+    # the artifact was lost after the full run)
     print(json.dumps(result))
+    out_path = os.path.join(out_dir, os.path.basename(out_name))
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":
