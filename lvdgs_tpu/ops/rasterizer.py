@@ -105,6 +105,13 @@ class RenderConfig:
     # (tracking/mapping tolerate optimizer-grade gradients; eval and prune
     # renders should stay exact f32)
     blend_bf16: bool = False
+    # active-prefix binning bucket (0 = full capacity): statically slice the
+    # depth-sorted candidate arrays to this many entries before the tile
+    # top_k selections. Exact while the active count stays <= bucket (see
+    # bin_gaussians); the SLAM host re-buckets with hysteresis as the map
+    # grows/prunes, so binning cost tracks ACTIVE count instead of the
+    # capacity high-water mark. Pure scheduling when it does not bind.
+    bin_bucket: int = 0
 
     def grid(self, intr: Intrinsics):
         ts = self.tile_size
@@ -233,6 +240,7 @@ def project_gaussians(
         "max_per_coarse",
         "use_approx_topk",
         "approx_recall",
+        "bin_bucket",
     ),
 )
 def bin_gaussians(
@@ -251,6 +259,7 @@ def bin_gaussians(
     max_per_coarse: int = 4096,
     use_approx_topk: bool = False,
     approx_recall: float = 0.95,
+    bin_bucket: int = 0,
 ):
     """Per-tile front-most-K selection over the global depth sort.
 
@@ -292,6 +301,21 @@ def bin_gaussians(
         sv = jnp.concatenate([sv, jnp.zeros((pad_n,), bool)], 0)
         order = jnp.concatenate([order, jnp.full((pad_n,), C, order.dtype)], 0)
     Cs = sv.shape[0]
+
+    # active-prefix bucket: the depth sort puts all valid Gaussians in the
+    # first n_valid slots, so when the map's CAPACITY far exceeds its ACTIVE
+    # count (hysteresis keeps capacity at up to ~2.6x actives, slam/system.py
+    # _maybe_shrink) the candidate arrays can be statically sliced to a
+    # host-chosen bucket >= n_valid and every downstream masked-score
+    # materialisation + top_k shrinks proportionally. EXACT whenever
+    # n_valid <= bin_bucket (the host picks the bucket with >=1.3x headroom
+    # over the fetched active count); if densification outruns the headroom
+    # mid-dispatch, only the FARTHEST (n_valid - bucket) Gaussians drop out
+    # of binning — graceful, but the host re-buckets at the next keyframe.
+    if 0 < bin_bucket < Cs:
+        Cb = max(bin_bucket, K)
+        sm, sr, sv, order = sm[:Cb], sr[:Cb], sv[:Cb], order[:Cb]
+        Cs = Cb
 
     # fine-tile AABB of each (sorted) gaussian: real radius (priority class)
     # and margin-expanded radius (inclusion)
@@ -1111,6 +1135,7 @@ def prepare_bins(
         max_per_coarse=cfg.max_per_coarse,
         use_approx_topk=cfg.use_approx_topk,
         approx_recall=cfg.approx_recall,
+        bin_bucket=cfg.bin_bucket,
     )
     if cfg.use_pallas and cfg.use_packed:
         return _pack_for_cfg(bins[0], bins[1], proj, params, active, cfg, ntx, nty)
@@ -1251,6 +1276,7 @@ def prepare_bins_with_touched(
         max_per_coarse=cfg.max_per_coarse,
         use_approx_topk=cfg.use_approx_topk,
         approx_recall=cfg.approx_recall,
+        bin_bucket=cfg.bin_bucket,
     )
     caps, touched = probe_saturation_caps(
         bins[0], bins[1], proj, params, active, cfg, ntx, nty,
@@ -1298,6 +1324,7 @@ def prepare_bins_with_caps(
         max_per_coarse=cfg.max_per_coarse,
         use_approx_topk=cfg.use_approx_topk,
         approx_recall=cfg.approx_recall,
+        bin_bucket=cfg.bin_bucket,
     )
     if not (cfg.use_pallas and cfg.use_packed):
         return bins, caps
@@ -1371,6 +1398,7 @@ def rasterize(
             max_per_coarse=cfg.max_per_coarse,
             use_approx_topk=cfg.use_approx_topk,
             approx_recall=cfg.approx_recall,
+            bin_bucket=cfg.bin_bucket,
         )
         if cfg.use_pallas and cfg.use_packed:
             packed = _pack_for_cfg(
@@ -1488,6 +1516,7 @@ def rasterize_median_depth(
         max_per_tile=cfg.max_per_tile, tile_chunk=cfg.tile_chunk,
         coarse_factor=cfg.coarse_factor, max_per_coarse=cfg.max_per_coarse,
         use_approx_topk=cfg.use_approx_topk, approx_recall=cfg.approx_recall,
+        bin_bucket=cfg.bin_bucket,
     )
 
     T, K = tile_idx.shape

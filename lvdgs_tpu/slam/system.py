@@ -192,6 +192,21 @@ class SLAM:
                         saturation_feedback=sat_m, blend_bf16=bfb)
             if mb else self.rcfg
         )
+        # active-prefix binning bucket (RenderConfig.bin_bucket): capacity
+        # hysteresis keeps the map at up to ~2.6x its active count, and the
+        # binning/coarse-topk cost is capacity-proportional — bucketing the
+        # depth-sorted candidate prefix to ~1.25x the active count keeps it
+        # active-proportional instead. Exact while the bucket holds (the
+        # host re-buckets with headroom before every seeding and after every
+        # prune); TPU-only by default — on CPU the recompile churn per
+        # bucket step outweighs the win in tests.
+        self._bin_bucket_step = 16384
+        self._bin_bucket_enable = perf.get("bin_active_bucket", not on_cpu)
+        # benches set this after their compile warmup: a bucket step swaps in
+        # fresh program shapes (one-off compiles), so a short timed window
+        # freezes the bucket — safe for ~8-13 keyframes of map growth thanks
+        # to the 1.25x headroom; never set during normal runs
+        self._bin_bucket_freeze = False
         # Honest phase attribution (VERDICT r3 weak #6): JAX dispatch is
         # async and block_until_ready is a relay no-op, so the first timer
         # that fetches a scalar eats every queued dispatch before it. With
@@ -254,6 +269,8 @@ class SLAM:
             # first, 4x fewer budgeted rows/iter; single-chip path only
             pyramid=tr.get("track_pyramid", False),
             coarse_iters=tr.get("track_coarse_iters", 60),
+            coarse_min_iters=tr.get("track_coarse_min_iters", 20),
+            fine_min_iters=tr.get("track_fine_min_iters", 20),
             # OPT-IN: gate dynamic pixels out of the tracking loss. Default
             # off — reference parity (utils/slam_utils.py:53-62 never
             # masks) AND measured: on the CPU dynamic street with oracle
@@ -1036,6 +1053,33 @@ class SLAM:
             return int(self.gmap.num_active)
         return self._cached_num_active
 
+    def _update_bin_bucket(self, lower_bound: int = 0) -> None:
+        """Re-bucket active-prefix binning (RenderConfig.bin_bucket) to track
+        the live active count. Grows immediately to >=1.25x the bound (so a
+        seeding/densify burst cannot outrun it mid-dispatch); shrinks only
+        with two full steps of slack to avoid recompile thrash. bucket == 0
+        means full-capacity binning (used when the bucket wouldn't save
+        anything). Pure scheduling: identical bins whenever the bucket does
+        not bind, which the headroom + per-keyframe refresh guarantee."""
+        if not self._bin_bucket_enable or self._bin_bucket_freeze:
+            return
+        import dataclasses as _dc
+
+        step = self._bin_bucket_step
+        cap = self.gmap.capacity
+        lb = max(self._num_active_cached(), lower_bound)
+        desired = -(-int(lb * 1.25) // step) * step
+        if desired >= cap - step // 2:
+            desired = 0  # no saving: bin at full capacity
+        cur = self.rcfg_map.bin_bucket
+        cur_eff = cur if cur else cap
+        des_eff = desired if desired else cap
+        if des_eff > cur_eff or des_eff <= cur_eff - 2 * step or (
+            cur and cur > cap
+        ):
+            self.rcfg_track = _dc.replace(self.rcfg_track, bin_bucket=desired)
+            self.rcfg_map = _dc.replace(self.rcfg_map, bin_bucket=desired)
+
     def _ensure_capacity(self, downsample: int) -> None:
         """Grow the map (powers of two, up to map_capacity) when the next
         seeding could approach saturation — keeps densification headroom
@@ -1050,6 +1094,9 @@ class SLAM:
         target = min(target, self.max_capacity)
         if target > cap:
             self._grow_to(target)
+        # the seeding about to run can push actives up to `need`; make the
+        # binning bucket cover it before the next tracking/mapping dispatch
+        self._update_bin_bucket(lower_bound=need)
 
     def _backend_init(self, idx: int, cam: Camera, depth) -> None:
         """Reference 'init' message handler (utils/slam_backend.py:514-528)."""
@@ -1124,6 +1171,7 @@ class SLAM:
             self.occ_visibility[kf_idx] = occ[i]
         self._sync_backend()  # also refreshes the cached active count
         self._maybe_shrink()
+        self._update_bin_bucket()
         self._phase_sync(self.gmap.num_active)
         self._nan_scan(f"kf_prune[{idx}]")
         self.timer.toc("kf_prune")

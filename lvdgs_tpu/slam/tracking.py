@@ -564,6 +564,7 @@ def track_camera_sharded(
                 max_per_coarse=rcfg.max_per_coarse,
                 use_approx_topk=rcfg.use_approx_topk,
                 approx_recall=rcfg.approx_recall,
+                bin_bucket=rcfg.bin_bucket,
             )
             ti_l = jax.lax.dynamic_slice_in_dim(tile_idx, tile0, T_local, 0)
             sv_l = jax.lax.dynamic_slice_in_dim(slot_valid, tile0, T_local, 0)

@@ -102,3 +102,62 @@ def test_margin_no_eviction_hierarchical():
         dict(ntx=20, nty=15, tile_size=16, max_per_tile=64, tile_chunk=64),
         dict(coarse_factor=4, max_per_coarse=4096),
     )
+
+
+def test_bin_bucket_exact_when_not_binding():
+    """Active-prefix bucket binning (RenderConfig.bin_bucket) is bitwise
+    identical to full-capacity binning while n_valid <= bucket: the depth
+    sort packs every valid candidate into the prefix, so the slice drops
+    only invalid slots."""
+    params, active = _scene(6000, seed=2)
+    # half the slots inactive, scattered (fragmented free list)
+    act = np.ones(6000, bool)
+    act[::3] = False
+    active = jnp.asarray(act)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active,
+        jnp.eye(3), jnp.zeros(3), INTR,
+    )
+    kw = dict(ntx=20, nty=15, tile_size=16, max_per_tile=256, tile_chunk=64,
+              coarse_factor=4, max_per_coarse=1024)
+    full_idx, full_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"], 2.0, **kw
+    )
+    n_valid = int(np.asarray(proj["valid"]).sum())
+    bucket = -(-n_valid // 512) * 512  # smallest 512-multiple covering valid
+    assert bucket < 6000
+    b_idx, b_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"], 2.0,
+        bin_bucket=bucket, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(full_valid), np.asarray(b_valid))
+    np.testing.assert_array_equal(np.asarray(full_idx), np.asarray(b_idx))
+
+
+def test_bin_bucket_binding_drops_farthest_only():
+    """When the bucket binds, the selection equals binning the NEAREST
+    `bucket` valid Gaussians (farthest-only degradation)."""
+    params, active = _scene(4000, seed=3)
+    proj = project_gaussians(
+        params["means"], params["quats"], params["log_scales"], active,
+        jnp.eye(3), jnp.zeros(3), INTR,
+    )
+    kw = dict(ntx=20, nty=15, tile_size=16, max_per_tile=256, tile_chunk=64,
+              coarse_factor=4, max_per_coarse=1024)
+    bucket = 2048
+    b_idx, b_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"], proj["valid"], 0.0,
+        bin_bucket=bucket, **kw
+    )
+    # emulate: invalidate all but the nearest `bucket` valid gaussians
+    depth = np.asarray(proj["depth"])
+    valid = np.asarray(proj["valid"])
+    order = np.argsort(np.where(valid, depth, np.inf), kind="stable")
+    keep = np.zeros(4000, bool)
+    keep[order[:bucket]] = True
+    ref_idx, ref_valid = bin_gaussians(
+        proj["mean2d"], proj["radius"], proj["depth"],
+        jnp.asarray(valid & keep), 0.0, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ref_valid), np.asarray(b_valid))
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(b_idx))

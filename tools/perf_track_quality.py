@@ -53,15 +53,33 @@ def main():
                                          **fb), True),
         ("fb96_pyr_bf16", dataclasses.replace(
             slam.rcfg, slot_budget_per_tile=96, blend_bf16=True, **fb), True),
+        # r5 candidates: active-prefix binning bucket (scheduling-only) and
+        # earlier plateau exits (VERDICT r4 #1: min_iters ~21)
+        ("fb96_pyr_bucket", dataclasses.replace(
+            slam.rcfg, slot_budget_per_tile=96,
+            bin_bucket=-(-int(1.25 * int(slam.gmap.num_active)) // 16384)
+            * 16384, **fb), True),
+        ("fb96_pyr_early", dataclasses.replace(
+            slam.rcfg, slot_budget_per_tile=96, **fb), True,
+         dict(plateau_min_iters=24, plateau_tol=0.015,
+              coarse_min_iters=12, fine_min_iters=12)),
+        ("fb96_pyr_early2", dataclasses.replace(
+            slam.rcfg, slot_budget_per_tile=96, **fb), True,
+         dict(plateau_min_iters=21, plateau_tol=0.02,
+              coarse_min_iters=11, fine_min_iters=11)),
+        ("fb96_early", dataclasses.replace(
+            slam.rcfg, slot_budget_per_tile=96, **fb), False,
+         dict(plateau_min_iters=21, plateau_tol=0.02)),
     )
     only = set(sys.argv[1:])
 
     results = {}
-    for name, cfg, pyramid in variants:
+    for name, cfg, pyramid, *tover in variants:
         if only and name not in only:
             continue
         fn = track_camera_pyramid if pyramid else track_camera
-        tcfg = dataclasses.replace(slam.tcfg, pyramid=pyramid)
+        tcfg = dataclasses.replace(slam.tcfg, pyramid=pyramid,
+                                   **(tover[0] if tover else {}))
         errs_r, errs_t, iters, walls = [], [], [], []
         for trial, kf in enumerate(slam.current_window[:3]):
             slot = slam.kf_slots[kf]
