@@ -96,6 +96,14 @@ def main():
                     help="output JSON name under results/ (defaults to "
                          "quality_bench.json, or quality_bench_dynamic_"
                          "<mask-mode>.json with --dynamic)")
+    ap.add_argument("--no-servo", action="store_true",
+                    help="disable the mono-scale gauge servo "
+                         "(Training.mono_scale_servo=False): at r5 bench "
+                         "scale the servo's world rescales destabilised the "
+                         "90-frame street run (ATE 1.39 -> 5.9 m, "
+                         "map_scale_history explodes after KF ~49) while "
+                         "helping at CPU scale — the anchor-spring-only "
+                         "regime is the stable bench configuration")
     ap.add_argument("--refine-features-only", action="store_true",
                     help="geometry-frozen refinement (Results."
                          "refine_features_only): monotone on held-out views")
@@ -112,6 +120,8 @@ def main():
     from lvdgs_tpu.slam.system import SLAM
 
     cfg = build_config(args.frames, args.refine, args.dynamic)
+    if args.no_servo:
+        cfg["Training"]["mono_scale_servo"] = False
     if args.seed_mode:
         cfg["Training"]["pose_seed"] = args.seed_mode
     if args.prior == "oracle":
